@@ -1,0 +1,186 @@
+package graft.checks
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/**
+ * A dataset-scope validation — no per-document analogue in the reference
+ * (its scope is one JSON instance, `blaze_wrapper.cpp:128-139`); these
+ * generalize `uniqueItems` / `enum` / `$ref` to table scope per the north
+ * rule (SURVEY.md §2.C).
+ *
+ * Contract: `violations` returns a DataFrame with exactly the violation
+ * schema `(doc_id string, constraint_id string, observed string,
+ * expected string)` — same shape the row-local detail path produces, so
+ * the validator can `union` all violation sources.
+ */
+trait DatasetCheck extends Serializable {
+  def id: String
+  def violations(
+      df: DataFrame,
+      idCol: String,
+      partitionCols: Seq[String],
+      dims: Map[String, DataFrame]): DataFrame
+}
+
+object DatasetCheck {
+  /** The canonical violation schema (north rule; mirrors the reference's
+    * `ValidationError` fields, `ValidationError.java:18-22`). */
+  val violationCols: Seq[String] =
+    Seq("doc_id", "constraint_id", "observed", "expected")
+}
+
+/**
+ * C3 — table-scope key uniqueness via an EXPLICIT salted two-phase
+ * hash-aggregate: phase 1 pre-aggregates per (key, salt) where the salt is
+ * the input partition id — so a hot key duplicated millions of times in
+ * one partition collapses to one row per partition BEFORE the shuffle —
+ * phase 2 merges counts per key. (Spark's partial aggregation does this
+ * implicitly for `count`; making the salt explicit keeps the skew
+ * guarantee independent of aggregate pushdown and documents the 100 TB
+ * strategy.) Violations: one row per duplicated key value (not per
+ * duplicate row) — at 10^12 rows, emitting the key with its count keeps
+ * violation volume proportional to the number of BAD KEYS.
+ */
+final case class UniqueCheck(id: String, col: String, expected: String)
+    extends DatasetCheck {
+  def violations(df: DataFrame, idCol: String, partitionCols: Seq[String],
+      dims: Map[String, DataFrame]): DataFrame = {
+    val phase1 = df
+      .select(F.col(col).cast("string").as("_k"))
+      .groupBy(F.col("_k"), F.spark_partition_id().as("_salt"))
+      .agg(F.count(F.lit(1)).as("_c"))
+    phase1
+      .groupBy("_k").agg(F.sum("_c").as("_cnt"))
+      .filter(F.col("_cnt") > 1)
+      .select(
+        F.coalesce(F.col("_k"), F.lit("null")).as("doc_id"),
+        F.lit(id).as("constraint_id"),
+        F.concat(F.lit("count="), F.col("_cnt").cast("string"))
+          .as("observed"),
+        F.lit(expected).as("expected"))
+  }
+}
+
+/**
+ * C4 — referential integrity of a fact column against a dimension table
+ * via broadcast left-anti join (the dimension is small by construction;
+ * `F.broadcast` pins the strategy so no shuffle of the 10^12-row fact side
+ * ever happens). One violation row per dangling fact row.
+ */
+final case class RefIntegrityCheck(
+    id: String, col: String, dimName: String, dimCol: String,
+    expected: String)
+    extends DatasetCheck {
+  def violations(df: DataFrame, idCol: String, partitionCols: Seq[String],
+      dims: Map[String, DataFrame]): DataFrame = {
+    val dim = dims.getOrElse(dimName, throw new IllegalArgumentException(
+      s"referential check '$id': dimension '$dimName' not provided"))
+    val keys = dim.select(F.col(dimCol).cast("string").as("_dk")).distinct()
+    df.select(
+        F.col(idCol).cast("string").as("doc_id"),
+        F.col(col).cast("string").as("_fk"))
+      .join(F.broadcast(keys), F.col("_fk") === F.col("_dk"), "left_anti")
+      .select(
+        F.col("doc_id"),
+        F.lit(id).as("constraint_id"),
+        F.coalesce(F.col("_fk"), F.lit("null")).as("observed"),
+        F.lit(expected).as("expected"))
+  }
+}
+
+/**
+ * C5 — distribution drift: equal-width histogram of `col` over a fixed
+ * [lo, hi) range per partition, compared to the global histogram with
+ * PSI (`sum((p-q)·ln(p/q))`) or KL (`sum(p·ln(p/q))`), epsilon-smoothed.
+ * One aggregation pass over the data; the per-partition × per-bucket
+ * grid is tiny post-aggregation, so the compare is a broadcast join.
+ * Violations: one row per drifted partition (doc_id = partition key).
+ */
+final case class DriftCheck(
+    id: String, col: String, lo: Double, hi: Double, buckets: Int,
+    metric: String, threshold: Double, expected: String,
+    minRows: Long = 100L)
+    extends DatasetCheck {
+  require(metric == "psi" || metric == "kl", s"unknown drift metric $metric")
+
+  def violations(df: DataFrame, idCol: String, partitionCols: Seq[String],
+      dims: Map[String, DataFrame]): DataFrame = {
+    require(partitionCols.nonEmpty, s"drift check '$id' needs partitionCols")
+    val width = (hi - lo) / buckets
+    val partKey = F.concat_ws("/",
+      partitionCols.map(p => F.concat(F.lit(p + "="), F.col(p).cast("string"))): _*)
+    val bucket = F.least(F.lit(buckets - 1), F.greatest(F.lit(0),
+      F.floor((F.col(col).cast("double") - lo) / width))).as("_b")
+
+    // One pass: per-(partition, bucket) counts.
+    val hist = df.filter(F.col(col).isNotNull)
+      .select(partKey.as("_p"), bucket)
+      .groupBy("_p", "_b").agg(F.count(F.lit(1)).as("_c"))
+      .cache() // reused for global + grid; tiny (parts × buckets rows)
+
+    val global = hist.groupBy("_b").agg(F.sum("_c").as("_gc"))
+    // partitions below the support floor cannot evidence drift — skip them
+    val parts = hist.groupBy("_p").agg(F.sum("_c").as("_pt"))
+      .filter(F.col("_pt") >= minRows)
+    val allBuckets = df.sparkSession
+      .range(buckets.toLong).select(F.col("id").as("_b"))
+
+    val eps = 1e-6
+    val grid = parts.crossJoin(allBuckets)
+      .join(hist, Seq("_p", "_b"), "left")
+      .join(F.broadcast(global), Seq("_b"), "left")
+    val gtot = F.sum(F.col("_gc")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(F.col("_p")))
+    val p = (F.coalesce(F.col("_c"), F.lit(0L)).cast("double") + eps) /
+      (F.col("_pt").cast("double") + eps * buckets)
+    val q = (F.coalesce(F.col("_gc"), F.lit(0L)).cast("double") + eps) /
+      (gtot.cast("double") + eps * buckets)
+    val term = metric match {
+      case "psi" => (p - q) * F.log(p / q)
+      case "kl"  => p * F.log(p / q)
+    }
+    grid
+      .select(F.col("_p"), term.as("_t"))
+      .groupBy("_p").agg(F.sum("_t").as("_m"))
+      .filter(F.col("_m") > threshold)
+      .select(
+        F.col("_p").as("doc_id"),
+        F.lit(id).as("constraint_id"),
+        F.concat(F.lit(metric + "="), F.round(F.col("_m"), 6).cast("string"))
+          .as("observed"),
+        F.lit(expected).as("expected"))
+  }
+}
+
+/**
+ * C1 — fused per-partition column profiling: ONE aggregation pass computes
+ * row count plus, per column, null count and (for numeric columns)
+ * min/max/mean — the reference has no analogue (single-document scope);
+ * this is the `ValidationResult` metrics block generalized to a table.
+ */
+object ColumnStats {
+  def profile(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = F.count(F.lit(1)).as("n_rows") +:
+      df.schema.fields.filterNot(f => partitionCols.contains(f.name))
+        .flatMap { f =>
+          val c = F.col(f.name)
+          val base = Seq(
+            F.sum(F.when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}_nulls"))
+          f.dataType match {
+            case _: NumericType => base ++ Seq(
+              F.min(c).as(s"${f.name}_min"),
+              F.max(c).as(s"${f.name}_max"),
+              F.avg(c).as(s"${f.name}_avg"))
+            case StringType => base :+
+              F.avg(F.length(c)).as(s"${f.name}_avg_len")
+            case ArrayType(_, _) => base :+
+              F.avg(F.size(c)).as(s"${f.name}_avg_size")
+            case _ => base
+          }
+        }.toSeq
+    if (partitionCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(partitionCols.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,213 @@
+package graft.dsl
+
+/**
+ * Declarative constraint DSL — the engine's "schema document".
+ *
+ * Plays the role of a JSON Schema in the reference
+ * (`/root/reference/src/main/java/com/github/madhavdhatrak/blaze4j/SchemaCompiler.java:38-75`):
+ * a declarative, data-serializable description of what a valid row (and a
+ * valid dataset) looks like, compiled ONCE into reusable Catalyst
+ * expressions and evaluated MANY times. Each constraint carries a stable
+ * `id`, the analogue of the reference's `evaluatePath`
+ * (`ValidationError.java:6-22`).
+ *
+ * Row-local constraints mirror the JSON Schema keyword families the
+ * reference demonstrably supports (see SURVEY.md §2.B, evidenced by
+ * `Draft2020Runner.java:55-103`); dataset-level constraints (uniqueness,
+ * referential integrity, distribution drift) are the Spark-native
+ * generalizations mandated by the north rule — they have no per-document
+ * analogue in the reference.
+ *
+ * Column scoping: `col` is a column name or nested field path
+ * (`a.b.c`). Inside an array scope ([[EachElement]], [[ContainsCount]],
+ * [[PrefixItems]]) the pseudo-column `"$"` refers to the scoped element,
+ * letting the same ADT express element subschemas (the `items` /
+ * `contains` keyword pattern).
+ */
+sealed trait Constraint {
+  /** Stable identifier — lands in violation rows as `constraint_id`. */
+  def id: String
+}
+
+object Constraint {
+
+  // ----------------------------------------------------------------
+  // Row-local leaf constraints (JSON Schema keyword analogues)
+  // ----------------------------------------------------------------
+
+  /** `required` / NOT NULL (reference: `required`, Draft2020Runner.java:100). */
+  final case class NotNull(id: String, col: String) extends Constraint
+
+  /** `enum` — value ∈ declared set (Draft2020Runner.java:75). Values are
+    * compared after casting the column to string, so they serialize
+    * uniformly. */
+  final case class IsIn(id: String, col: String, values: Seq[String])
+      extends Constraint
+
+  /** `const` — value == literal (Draft2020Runner.java:68). Null-safe. */
+  final case class ConstEq(id: String, col: String, value: String)
+      extends Constraint
+
+  /** `minimum`/`maximum`/`exclusiveMinimum`/`exclusiveMaximum`
+    * (Draft2020Runner.java:83-88). Either bound optional. */
+  final case class Bounds(
+      id: String,
+      col: String,
+      min: Option[BigDecimal] = None,
+      max: Option[BigDecimal] = None,
+      exclusiveMin: Boolean = false,
+      exclusiveMax: Boolean = false)
+      extends Constraint
+
+  /** `multipleOf` (Draft2020Runner.java:92). Tolerance-aware for doubles. */
+  final case class MultipleOf(id: String, col: String, k: BigDecimal)
+      extends Constraint
+
+  /** `minLength`/`maxLength` — string length in codepoints
+    * (Draft2020Runner.java:85,90). */
+  final case class LengthBounds(
+      id: String, col: String, min: Option[Int], max: Option[Int])
+      extends Constraint
+
+  /** `pattern` — unanchored regex match (Draft2020Runner.java:95).
+    * Java regex dialect; ECMA-262 deltas documented in SURVEY.md §7.4. */
+  final case class Matches(id: String, col: String, pattern: String)
+      extends Constraint
+
+  /** `format` (Draft2020Runner.java:78). Annotation-only unless
+    * `strict` — matching the reference's default where format does not
+    * affect validity (`DetailedValidationTest.java:287`). Strict formats
+    * supported: `date`, `date-time`, `email`, `uuid`, `uri`, `ipv4`. */
+  final case class FormatIs(
+      id: String, col: String, format: String, strict: Boolean = false)
+      extends Constraint
+
+  // ----------------------------------------------------------------
+  // Array constraints (the core ones for tokens: array<int32>)
+  // ----------------------------------------------------------------
+
+  /** `minItems`/`maxItems` — array size bounds (Draft2020Runner.java:84,89). */
+  final case class SizeBounds(
+      id: String, col: String, min: Option[Int], max: Option[Int])
+      extends Constraint
+
+  /** `uniqueItems` (Draft2020Runner.java:60). */
+  final case class UniqueItems(id: String, col: String) extends Constraint
+
+  /** `items` — every element satisfies the subschema
+    * (Draft2020Runner.java:81). `elem.col` must be `"$"`. */
+  final case class EachElement(id: String, col: String, elem: Constraint)
+      extends Constraint
+
+  /** `contains`/`minContains`/`maxContains` (Draft2020Runner.java:69,82,87):
+    * the count of elements matching `elem` is within [minCount, maxCount]. */
+  final case class ContainsCount(
+      id: String,
+      col: String,
+      elem: Constraint,
+      minCount: Int = 1,
+      maxCount: Option[Int] = None)
+      extends Constraint
+
+  /** `prefixItems` — positional element subschemas (Draft2020Runner.java:97).
+    * Absent positions (array shorter than the prefix) pass, per spec. */
+  final case class PrefixItems(
+      id: String, col: String, elems: Seq[Constraint])
+      extends Constraint
+
+  // ----------------------------------------------------------------
+  // Cross-column / escape hatch
+  // ----------------------------------------------------------------
+
+  /** Declared-length consistency: `intCol == size(arrCol)` — the
+    * `input_hint` invariant `n_tok == size(tokens)`. */
+  final case class SizeConsistency(id: String, intCol: String, arrCol: String)
+      extends Constraint
+
+  /** Escape hatch: arbitrary boolean SQL expression over the row.
+    * `observed` is an optional SQL expression rendered into the
+    * violation's `observed` field (defaults to the predicate text). */
+  final case class ExprIs(
+      id: String,
+      predicateSql: String,
+      observedSql: Option[String] = None,
+      expected: String = "")
+      extends Constraint
+
+  // ----------------------------------------------------------------
+  // Applicators / combinators (Draft2020Runner.java:64,66,93,94,79,67)
+  // ----------------------------------------------------------------
+
+  final case class AllOf(id: String, cs: Seq[Constraint]) extends Constraint
+  final case class AnyOf(id: String, cs: Seq[Constraint]) extends Constraint
+  /** exactly-one-of */
+  final case class OneOf(id: String, cs: Seq[Constraint]) extends Constraint
+  final case class Not(id: String, c: Constraint) extends Constraint
+  final case class IfThen(
+      id: String,
+      cond: Constraint,
+      thenC: Constraint,
+      elseC: Option[Constraint] = None)
+      extends Constraint
+  /** Boolean schema `true`/`false` (boolean_schema.json). */
+  final case class BoolSchema(id: String, value: Boolean) extends Constraint
+
+  /** `$ref` — named suite lookup in the [[graft.registry.ConstraintRegistry]],
+    * inlined at compile time with cycle detection (reference resolves refs
+    * at compile: `BlazeWrapper.java:253-281`; cycle evidence:
+    * `infinite-loop-detection.json`, Draft2020Runner.java:80). */
+  final case class Ref(id: String, name: String) extends Constraint
+
+  // ----------------------------------------------------------------
+  // Dataset-level constraints (north-rule extensions, SURVEY.md §2.C)
+  // ----------------------------------------------------------------
+
+  /** Table-scope uniqueness of a key column (C3): salted two-phase
+    * hash-aggregate; every row of a duplicated key becomes a violation. */
+  final case class Unique(id: String, col: String) extends Constraint
+
+  /** Referential integrity (C4): `col` values must exist in
+    * `dimName.dimCol` (dimension resolved at validate time; joined via
+    * broadcast left-anti). */
+  final case class RefIntegrity(
+      id: String, col: String, dimName: String, dimCol: String)
+      extends Constraint
+
+  /** Distribution drift (C5): per-partition histogram of `col` (fixed
+    * [lo, hi) range, `buckets` equal-width bins) compared against the
+    * global distribution; partitions whose divergence exceeds `threshold`
+    * fail. `metric` ∈ {"psi", "kl"}. Partitions with fewer than `minRows`
+    * rows are skipped — a handful of samples cannot evidence drift. */
+  final case class NoDrift(
+      id: String,
+      col: String,
+      lo: Double,
+      hi: Double,
+      buckets: Int,
+      metric: String,
+      threshold: Double,
+      minRows: Long = 100L)
+      extends Constraint
+
+  /** Walk the tree depth-first (combinators included). */
+  def walk(c: Constraint)(f: Constraint => Unit): Unit = {
+    f(c)
+    c match {
+      case AllOf(_, cs)          => cs.foreach(walk(_)(f))
+      case AnyOf(_, cs)          => cs.foreach(walk(_)(f))
+      case OneOf(_, cs)          => cs.foreach(walk(_)(f))
+      case Not(_, c0)            => walk(c0)(f)
+      case IfThen(_, i, t, e)    => walk(i)(f); walk(t)(f); e.foreach(walk(_)(f))
+      case EachElement(_, _, e)  => walk(e)(f)
+      case ContainsCount(_, _, e, _, _) => walk(e)(f)
+      case PrefixItems(_, _, es) => es.foreach(walk(_)(f))
+      case _                     => ()
+    }
+  }
+}
+
+/**
+ * A named set of constraints — the unit of compilation, mirroring one
+ * JSON Schema document. `id` doubles as the registry key ($id).
+ */
+final case class ConstraintSuite(id: String, constraints: Seq[Constraint])

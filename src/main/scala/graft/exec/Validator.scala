@@ -1,0 +1,139 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{functions => F}
+
+import graft.compile.CompiledSuite
+
+/** One typed violation row — the engine's `ValidationError`
+  * (`ValidationError.java:6-22`: message/instanceLocation/evaluatePath →
+  * expected/doc_id/constraint_id) with the observed value added per the
+  * north rule. */
+final case class Violation(
+    doc_id: String,
+    constraint_id: String,
+    observed: String,
+    expected: String)
+
+/** Detail-path result — the engine's `ValidationResult`
+  * (`ValidationResult.java:13-26`): a per-partition verdict DataFrame plus
+  * the typed violation rows. Both are lazy plans; nothing executes until
+  * an action runs. */
+final case class ValidationReport(verdicts: DataFrame, violations: DataFrame)
+
+/**
+ * Evaluates a [[CompiledSuite]] over a DataFrame — the analogue of
+ * `BlazeValidator` (`BlazeValidator.java:14-27`), with the reference's
+ * two modes kept intact:
+ *
+ *  - [[Validator.validate]]    — FastValidation (`blaze_wrapper.cpp:92`):
+ *    boolean verdict per partition, short-circuit AND inside whole-stage
+ *    codegen, NO violation rows materialized.
+ *  - [[Validator.validateWithDetails]] — detail mode
+ *    (`blaze_wrapper.cpp:162-248`): per-constraint evaluation yielding
+ *    typed violation rows + the verdicts.
+ *
+ * The "unit of verdict" is an Iceberg-style partition (the north rule),
+ * not a document: `partitionCols` plays the role of the instance boundary.
+ * Malformed values produce violations, never job failures — mirroring the
+ * reference's catch-all (`blaze_wrapper.cpp:140-146`): all lowered
+ * predicates are null-tolerant and use non-throwing functions.
+ */
+object Validator {
+
+  /** Fast boolean path: ONE scan, ONE small shuffle (the per-partition
+    * verdict groupBy). Dataset-level checks contribute only a count. */
+  def validate(
+      df: DataFrame,
+      suite: CompiledSuite,
+      partitionCols: Seq[String],
+      idCol: String = "doc_id",
+      dims: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val ok = suite.rowPredicate
+    val rowVerdicts = aggVerdict(df, ok, partitionCols)
+    attachDatasetCounts(rowVerdicts, df, suite, idCol, partitionCols, dims)
+  }
+
+  /** Detail path: violation rows from every source, union'd, plus
+    * verdicts. Row-local violations are built columnar — an array of
+    * per-constraint structs filtered to failures then exploded — so the
+    * whole construction stays inside codegen with zero UDFs. */
+  def validateWithDetails(
+      df: DataFrame,
+      suite: CompiledSuite,
+      partitionCols: Seq[String],
+      idCol: String = "doc_id",
+      dims: Map[String, DataFrame] = Map.empty): ValidationReport = {
+
+    val rowViolations: DataFrame =
+      if (suite.rowChecks.isEmpty) emptyViolations(df)
+      else {
+        val structs = F.array(suite.rowChecks.map { c =>
+          F.struct(
+            F.lit(c.id).as("constraint_id"),
+            c.pred.as("ok"),
+            F.coalesce(c.observed.cast("string"), F.lit("null"))
+              .as("observed"),
+            F.lit(c.expected).as("expected"))
+        }: _*)
+        df.select(
+            F.col(idCol).cast("string").as("doc_id"),
+            F.explode(F.filter(structs, s => !s.getField("ok"))).as("_v"))
+          .select(
+            F.col("doc_id"),
+            F.col("_v.constraint_id").as("constraint_id"),
+            F.col("_v.observed").as("observed"),
+            F.col("_v.expected").as("expected"))
+      }
+
+    val dsViolations = suite.datasetChecks
+      .map(_.violations(df, idCol, partitionCols, dims))
+    val violations = (rowViolations +: dsViolations).reduce(_ unionAll _)
+
+    val verdicts = validate(df, suite, partitionCols, idCol, dims)
+    ValidationReport(verdicts, violations)
+  }
+
+  /** Per-partition verdict aggregate: every(pred), row + bad-row counts —
+    * partial+final hash aggregate, so the shuffle carries one row per
+    * (input-partition × verdict-partition). */
+  private def aggVerdict(
+      df: DataFrame, ok: Column, partitionCols: Seq[String]): DataFrame = {
+    val aggs = Seq(
+      F.count(F.lit(1)).as("n_rows"),
+      F.sum(F.when(ok, 0L).otherwise(1L)).as("n_bad_rows"),
+      F.coalesce(F.every(ok), F.lit(true)).as("rows_ok"))
+    if (partitionCols.isEmpty)
+      df.agg(aggs.head, aggs.tail: _*)
+    else
+      df.groupBy(partitionCols.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Dataset-check outcome as counts, cross-joined into every verdict row
+    * (the counts DF is a single row — broadcast by construction). */
+  private def attachDatasetCounts(
+      verdicts: DataFrame,
+      df: DataFrame,
+      suite: CompiledSuite,
+      idCol: String,
+      partitionCols: Seq[String],
+      dims: Map[String, DataFrame]): DataFrame = {
+    if (suite.datasetChecks.isEmpty)
+      verdicts.withColumn("n_dataset_violations", F.lit(0L))
+        .withColumn("valid", F.col("rows_ok"))
+    else {
+      val total = suite.datasetChecks
+        .map(_.violations(df, idCol, partitionCols, dims))
+        .reduce(_ unionAll _)
+        .agg(F.count(F.lit(1)).as("n_dataset_violations"))
+      verdicts.crossJoin(F.broadcast(total))
+        .withColumn("valid",
+          F.col("rows_ok") && F.col("n_dataset_violations") === 0L)
+    }
+  }
+
+  private def emptyViolations(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.sparkSession.emptyDataset[Violation].toDF()
+  }
+}

@@ -1,0 +1,266 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.dsl._
+import graft.dsl.Constraint._
+import graft.compile.ConstraintCompiler
+import graft.exec.Validator
+import graft.gen.SequenceGen
+import graft.registry.ConstraintRegistry
+
+/** Keyword-level conformance in the style of the reference's
+  * BlazeWrapperTest/DetailedValidationTest: compile once, validate
+  * single-row frames, assert the golden boolean and the violation rows. */
+class ValidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seqDf(rows: (String, Seq[Int], Int, String)*): DataFrame =
+    rows.map { case (d, t, n, s) => (d, t.toArray, n, s) }
+      .toDF("doc_id", "tokens", "n_tok", "source")
+
+  private def rowValid(df: DataFrame, c: Constraint): Boolean = {
+    val suite = ConstraintCompiler.compile(ConstraintSuite("t", Seq(c)))
+    val v = Validator.validate(df, suite, Seq.empty)
+    v.select("rows_ok").as[Boolean].head()
+  }
+
+  private val okRow = ("d1", Seq(1, 2, 3), 3, "web")
+
+  test("bounds: min/max inclusive + exclusive") {
+    val df = seqDf(okRow)
+    assert(rowValid(df, Bounds("c", "n_tok", Some(1), Some(3))))
+    assert(!rowValid(df, Bounds("c", "n_tok", Some(1), Some(3), exclusiveMax = true)))
+    assert(!rowValid(df, Bounds("c", "n_tok", Some(4), None)))
+    assert(rowValid(df, Bounds("c", "n_tok", None, Some(3))))
+  }
+
+  test("isIn / constEq / notNull / matches / lengthBounds") {
+    val df = seqDf(okRow)
+    assert(rowValid(df, IsIn("c", "source", Seq("web", "books"))))
+    assert(!rowValid(df, IsIn("c", "source", Seq("books"))))
+    assert(rowValid(df, ConstEq("c", "source", "web")))
+    assert(!rowValid(df, ConstEq("c", "source", "cc")))
+    assert(rowValid(df, NotNull("c", "doc_id")))
+    assert(rowValid(df, Matches("c", "doc_id", "^d\\d+$")))
+    assert(!rowValid(df, Matches("c", "doc_id", "^x")))
+    assert(rowValid(df, LengthBounds("c", "doc_id", Some(2), Some(2))))
+    assert(!rowValid(df, LengthBounds("c", "doc_id", Some(3), None)))
+  }
+
+  test("null passes every keyword except notNull (JSON Schema applicability)") {
+    val df = Seq(("d1", null.asInstanceOf[String]))
+      .toDF("doc_id", "source")
+    assert(rowValid(df, IsIn("c", "source", Seq("web"))))
+    assert(rowValid(df, Matches("c", "source", "^x")))
+    assert(rowValid(df, LengthBounds("c", "source", Some(99), None)))
+    assert(!rowValid(df, NotNull("c", "source")))
+  }
+
+  test("multipleOf: exact decimal semantics incl. fractional") {
+    val dfInt = Seq(Tuple1(9)).toDF("v")
+    assert(rowValid(dfInt, MultipleOf("c", "v", BigDecimal(3))))
+    assert(!rowValid(dfInt, MultipleOf("c", "v", BigDecimal(4))))
+    val dfFrac = Seq(Tuple1(0.0075)).toDF("v")
+    assert(rowValid(dfFrac, MultipleOf("c", "v", BigDecimal("0.0001"))))
+    assert(!rowValid(dfFrac, MultipleOf("c", "v", BigDecimal("0.0002"))))
+  }
+
+  test("array keywords: size, uniqueItems, eachElement, contains, prefix") {
+    val df = seqDf(("d1", Seq(1, 2, 2, 50256), 4, "web"))
+    assert(rowValid(df, SizeBounds("c", "tokens", Some(1), Some(4))))
+    assert(!rowValid(df, SizeBounds("c", "tokens", Some(5), None)))
+    assert(!rowValid(df, UniqueItems("c", "tokens")))
+    assert(rowValid(seqDf(okRow), UniqueItems("c", "tokens")))
+    assert(rowValid(df,
+      EachElement("c", "tokens", Bounds("e", "$", Some(0), Some(50256)))))
+    assert(!rowValid(df,
+      EachElement("c", "tokens", Bounds("e", "$", Some(0), Some(100)))))
+    assert(rowValid(df,
+      ContainsCount("c", "tokens", ConstEq("e", "$", "2"), 2, Some(2))))
+    assert(!rowValid(df,
+      ContainsCount("c", "tokens", ConstEq("e", "$", "2"), 3)))
+    assert(rowValid(df, PrefixItems("c", "tokens",
+      Seq(ConstEq("p0", "$", "1"), ConstEq("p1", "$", "2")))))
+    assert(!rowValid(df, PrefixItems("c", "tokens",
+      Seq(ConstEq("p0", "$", "7")))))
+    // prefix longer than array: absent positions pass (per spec)
+    assert(rowValid(seqDf(("d", Seq(1), 1, "w")), PrefixItems("c", "tokens",
+      Seq(ConstEq("p0", "$", "1"), ConstEq("p1", "$", "9")))))
+  }
+
+  test("sizeConsistency: n_tok == size(tokens)") {
+    assert(rowValid(seqDf(okRow), SizeConsistency("c", "n_tok", "tokens")))
+    assert(!rowValid(seqDf(("d", Seq(1, 2), 3, "w")),
+      SizeConsistency("c", "n_tok", "tokens")))
+  }
+
+  test("combinators: allOf / anyOf / oneOf / not / ifThen / boolSchema") {
+    val df = seqDf(okRow)
+    val isWeb = ConstEq("a", "source", "web")
+    val isBooks = ConstEq("b", "source", "books")
+    val nTok3 = ConstEq("n", "n_tok", "3")
+    assert(rowValid(df, AllOf("c", Seq(isWeb, nTok3))))
+    assert(!rowValid(df, AllOf("c", Seq(isWeb, isBooks))))
+    assert(rowValid(df, AnyOf("c", Seq(isBooks, isWeb))))
+    assert(!rowValid(df, AnyOf("c", Seq(isBooks))))
+    assert(rowValid(df, OneOf("c", Seq(isWeb, isBooks))))
+    assert(!rowValid(df, OneOf("c", Seq(isWeb, nTok3))))
+    assert(rowValid(df, Not("c", isBooks)))
+    assert(!rowValid(df, Not("c", isWeb)))
+    assert(rowValid(df, IfThen("c", isWeb, nTok3)))
+    assert(!rowValid(df, IfThen("c", isWeb, isBooks)))
+    assert(rowValid(df, IfThen("c", isBooks, isBooks, Some(nTok3))))
+    assert(rowValid(df, BoolSchema("c", true)))
+    assert(!rowValid(df, BoolSchema("c", false)))
+  }
+
+  test("format: annotation-only by default, strict opt-in") {
+    val df = Seq(Tuple1("not-an-email")).toDF("v")
+    assert(rowValid(df, FormatIs("c", "v", "email")))
+    assert(!rowValid(df, FormatIs("c", "v", "email", strict = true)))
+    val good = Seq(Tuple1("a@b.co")).toDF("v")
+    assert(rowValid(good, FormatIs("c", "v", "email", strict = true)))
+    assert(rowValid(Seq(Tuple1("2024-02-29")).toDF("v"),
+      FormatIs("c", "v", "date", strict = true)))
+    assert(!rowValid(Seq(Tuple1("2024-13-01")).toDF("v"),
+      FormatIs("c", "v", "date", strict = true)))
+  }
+
+  test("detail path: violation rows carry id/observed/expected") {
+    val df = seqDf(("d1", Seq(1, 2), 5, "web"), ("d2", Seq(1), 1, "mars"))
+    val suite = ConstraintCompiler.compile(ConstraintSuite("s", Seq(
+      SizeConsistency("size_ok", "n_tok", "tokens"),
+      IsIn("src_ok", "source", Seq("web", "books")))))
+    val rep = Validator.validateWithDetails(df, suite, Seq("source"))
+    val vs = rep.violations.orderBy("doc_id").collect()
+    assert(vs.length == 2)
+    assert(vs(0).getString(0) == "d1")
+    assert(vs(0).getString(1) == "size_ok")
+    assert(vs(0).getString(2) == "5!=size:2")
+    assert(vs(1).getString(1) == "src_ok")
+    assert(vs(1).getString(2) == "mars")
+    assert(vs(1).getString(3).contains("web"))
+    val verdicts = rep.verdicts.orderBy("source").collect()
+    assert(verdicts.length == 2)
+    assert(verdicts.forall(!_.getAs[Boolean]("rows_ok")))
+  }
+
+  test("malformed values become violations, not job failures") {
+    // huge n_tok, empty tokens, null source — nothing throws under ANSI
+    val df = seqDf(("d1", Seq.empty[Int], Int.MaxValue, null))
+    val suite = ConstraintCompiler.compile(ConstraintSuite("s", Seq(
+      Bounds("b", "n_tok", Some(1), Some(8192)),
+      NotNull("nn", "source"),
+      SizeBounds("sb", "tokens", Some(1), None))))
+    val rep = Validator.validateWithDetails(df, suite, Seq.empty)
+    assert(rep.violations.count() == 3)
+  }
+
+  test("ref resolution inlines registry suites; cycles fail compile") {
+    val reg = new ConstraintRegistry
+    reg.register("base", ConstraintSuite("base",
+      Seq(Bounds("b", "n_tok", Some(1), None))))
+    val suite = ConstraintCompiler.compile(
+      ConstraintSuite("s", Seq(Ref("r", "base"))), reg)
+    assert(rowValid2(seqDf(okRow), suite))
+
+    reg.register("a", ConstraintSuite("a", Seq(Ref("ra", "b"))))
+    reg.register("b", ConstraintSuite("b", Seq(Ref("rb", "a"))))
+    val e = intercept[ConstraintCompiler.CompileException] {
+      ConstraintCompiler.compile(ConstraintSuite("s", Seq(Ref("r", "a"))), reg)
+    }
+    assert(e.getMessage.contains("cyclic"))
+    val e2 = intercept[ConstraintCompiler.CompileException] {
+      ConstraintCompiler.compile(
+        ConstraintSuite("s", Seq(Ref("r", "nope"))), ConstraintRegistry.empty)
+    }
+    assert(e2.getMessage.contains("unresolved"))
+  }
+
+  private def rowValid2(df: DataFrame, suite: graft.compile.CompiledSuite) =
+    Validator.validate(df, suite, Seq.empty).select("rows_ok").as[Boolean].head()
+
+  test("json round-trip preserves compiled semantics") {
+    val suite = ConstraintSuite("s", Seq(
+      Bounds("b", "n_tok", Some(1), Some(8192)),
+      EachElement("e", "tokens", Bounds("eb", "$", Some(0), Some(50256))),
+      AnyOf("any", Seq(ConstEq("c1", "source", "web"),
+        Matches("m", "source", "^b"))),
+      Unique("u", "doc_id"),
+      NoDrift("d", "n_tok", 0, 2048, 16, "psi", 0.2)))
+    val json = ConstraintJson.renderSuite(suite)
+    val back = ConstraintJson.parseSuite(json)
+    assert(back == suite)
+    val compiled = ConstraintCompiler.compile(back)
+    assert(compiled.rowChecks.length == 3)
+    assert(compiled.datasetChecks.length == 2)
+    assert(compiled.constraintHash ==
+      ConstraintCompiler.compile(suite).constraintHash)
+  }
+
+  /** Replays the generator's doc_id assignment on the driver so tests can
+    * compute exact expected duplicate sets. */
+  private def docIdOf(i: Long): String =
+    if (i > 0 && i % SequenceGen.HotDupEvery == 0) "seq-hot"
+    else if (i > 0 && i % SequenceGen.DupEvery == 0) f"seq-${i - 1}%012d"
+    else f"seq-$i%012d"
+
+  test("dataset checks: uniqueness finds exactly the planted duplicates") {
+    val n = 30000L
+    val ds = SequenceGen.generate(spark, n, nSources = 4, numPartitions = 8)
+    val suite = ConstraintCompiler.compile(ConstraintSuite("s",
+      Seq(Unique("uniq", "doc_id"))))
+    val rep = Validator.validateWithDetails(
+      ds.toDF(), suite, Seq("source"))
+    val dupKeys = rep.violations.select("doc_id").as[String].collect().toSet
+    val expected = (0L until n).map(docIdOf)
+      .groupBy(identity).filter(_._2.sizeIs > 1).keySet
+    assert(dupKeys == expected)
+    // hot key count recorded
+    val hot = rep.violations.filter($"doc_id" === "seq-hot")
+      .select("observed").as[String].head()
+    assert(hot == s"count=${(0L until n).map(docIdOf).count(_ == "seq-hot")}")
+  }
+
+  test("dataset checks: referential integrity via broadcast anti-join") {
+    val ds = SequenceGen.generate(spark, 25000L, nSources = 4,
+      numPartitions = 8)
+    val dim = SequenceGen.sourcesDim(spark, 4)
+    val suite = ConstraintCompiler.compile(ConstraintSuite("s",
+      Seq(RefIntegrity("ri", "source", "sources", "source"))))
+    val rep = Validator.validateWithDetails(ds.toDF(), suite,
+      Seq("source"), dims = Map("sources" -> dim))
+    val bad = rep.violations.select("doc_id").as[String].collect().toSet
+    val expected = (1L until 25000L)
+      .filter(_ % SequenceGen.BadSourceEvery == 0).map(docIdOf).toSet
+    assert(bad == expected)
+  }
+
+  test("dataset checks: drift flags exactly the shifted partition") {
+    val ds = SequenceGen.generate(spark, 40000L, nSources = 4,
+      numPartitions = 8)
+    // calibration (numeric simulation): clean-vs-mixture PSI ≈ 0.18,
+    // shifted partition ≈ 0.88 → threshold 0.4 separates cleanly; minRows
+    // skips the ~4-row src_unknown partition whose PSI is pure noise.
+    val suite = ConstraintCompiler.compile(ConstraintSuite("s",
+      Seq(NoDrift("drift", "n_tok", 0, 2048, 32, "psi", 0.4))))
+    val rep = Validator.validateWithDetails(ds.toDF(), suite, Seq("source"))
+    val drifted = rep.violations.select("doc_id").as[String].collect().toSet
+    assert(drifted == Set("source=src0"))
+  }
+
+  test("fast path verdict: bad partitions flagged, counts correct") {
+    val df = seqDf(
+      ("a", Seq(1), 1, "web"), ("b", Seq(2), 1, "web"),
+      ("c", Seq(3), 9, "books"))
+    val suite = ConstraintCompiler.compile(ConstraintSuite("s",
+      Seq(SizeConsistency("sc", "n_tok", "tokens"))))
+    val v = Validator.validate(df, suite, Seq("source"))
+      .orderBy("source").collect()
+    assert(v(0).getAs[String]("source") == "books")
+    assert(!v(0).getAs[Boolean]("rows_ok"))
+    assert(v(0).getAs[Long]("n_bad_rows") == 1L)
+    assert(v(1).getAs[Boolean]("rows_ok"))
+    assert(v(1).getAs[Long]("n_rows") == 2L)
+  }
+}
