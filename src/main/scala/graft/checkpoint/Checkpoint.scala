@@ -1,0 +1,123 @@
+package graft.checkpoint
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.compile.CompiledSuite
+import graft.exec.Validator
+import graft.table.TableProvider
+
+/** One line of per-partition lineage — the north rule's
+  * `(snapshot-id, partition spec, constraint-set hash)` plus metrics, so
+  * a killed job can prove which partitions were already validated against
+  * exactly this data and exactly this suite. */
+final case class CheckpointEntry(
+    partition: String,
+    snapshot_id: String,
+    constraint_hash: String,
+    valid: Boolean,
+    n_rows: Long,
+    n_bad_rows: Long,
+    run_id: String)
+
+/**
+ * Append-only checkpoint table (Parquet). A partition is "done" iff an
+ * entry matches its CURRENT snapshot id and the CURRENT constraint hash —
+ * so editing the suite or rewriting a partition's files automatically
+ * re-queues it, while a plain re-run skips it. Appends are atomic at the
+ * file level (each append writes new files), matching how an Iceberg
+ * append would behave.
+ */
+final class CheckpointStore(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  def load(): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
+    else spark.emptyDataset[CheckpointEntry].toDF()
+  }
+
+  def append(entries: Seq[CheckpointEntry]): Unit =
+    entries.toDS().toDF().write.mode(SaveMode.Append).parquet(path)
+
+  /** Partitions still needing validation: current (partition, snapshot,
+    * hash) tuples EXCEPT already-checkpointed ones. The partition list is
+    * tiny relative to the data (thousands of entries for a 100 TB table),
+    * so the anti-join runs as a local/broadcast plan. */
+  def pending(table: TableProvider, constraintHash: String): Seq[String] = {
+    val current = table.partitions()
+      .map(p => (p, table.snapshotId(p), constraintHash))
+      .toDF("partition", "snapshot_id", "constraint_hash")
+    current
+      .join(load().select("partition", "snapshot_id", "constraint_hash"),
+        Seq("partition", "snapshot_id", "constraint_hash"), "left_anti")
+      .select("partition").as[String].collect().toSeq.sorted
+  }
+}
+
+/** Result of one (possibly partial) validation run. */
+final case class RunResult(
+    runId: String,
+    processed: Seq[String],
+    skipped: Seq[String],
+    verdicts: DataFrame,
+    violations: DataFrame)
+
+/**
+ * The resumable whole-table validation driver (north rule C7): plan =
+ * pending partitions (checkpoint anti-join) → ONE partition-pruned scan
+ * validates all of them in a single job → violations land per partition →
+ * checkpoint entries appended with metrics. Kill it anywhere; the next
+ * run picks up exactly the unvalidated partitions.
+ */
+object PartitionedRunner {
+
+  def run(
+      table: TableProvider,
+      suite: CompiledSuite,
+      checkpoint: CheckpointStore,
+      runId: String,
+      idCol: String = "doc_id",
+      dims: Map[String, DataFrame] = Map.empty,
+      violationsOut: Option[String] = None,
+      maxPartitions: Int = Int.MaxValue): RunResult = {
+
+    val spark = checkpoint.load().sparkSession
+    val pendingAll = checkpoint.pending(table, suite.constraintHash)
+    val pending = pendingAll.take(maxPartitions)
+    val skipped = table.partitions().diff(pendingAll)
+
+    if (pending.isEmpty) {
+      import spark.implicits._
+      return RunResult(runId, Seq.empty, skipped,
+        spark.emptyDataFrame,
+        spark.emptyDataset[graft.exec.Violation].toDF())
+    }
+
+    val df = table.scan(pending)
+    val report = Validator.validateWithDetails(
+      df, suite, table.partitionCols, idCol, dims)
+
+    violationsOut.foreach { out =>
+      report.violations.write.mode(SaveMode.Append).parquet(out)
+    }
+
+    // Verdicts are small (one row per partition) — collect for checkpoint.
+    val partCol = table.partitionCols.head
+    val verdictRows = report.verdicts.collect()
+    val entries = verdictRows.map { r =>
+      val pname = s"$partCol=${r.getAs[Any](partCol)}"
+      CheckpointEntry(
+        partition = pname,
+        snapshot_id = table.snapshotId(pname),
+        constraint_hash = suite.constraintHash,
+        valid = r.getAs[Boolean]("valid"),
+        n_rows = r.getAs[Long]("n_rows"),
+        n_bad_rows = r.getAs[Long]("n_bad_rows"),
+        run_id = runId)
+    }
+    checkpoint.append(entries.toSeq)
+    RunResult(runId, pending, skipped, report.verdicts, report.violations)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.checkpoint.{CheckpointStore, PartitionedRunner}
+import graft.compile.ConstraintCompiler
+import graft.dsl.Constraint._
+import graft.dsl.ConstraintSuite
+import graft.gen.SequenceGen
+import graft.table.ParquetPartitionedTable
+
+/** North-rule C7: per-partition lineage + resume. Mirrors the reference's
+  * compile-once/reuse contract at run scope: a checkpointed partition is
+  * skipped iff data (snapshot) AND suite (hash) are unchanged. */
+class CheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(dir: String): ParquetPartitionedTable = {
+    SequenceGen.generate(spark, 20000L, nSources = 4, numPartitions = 8)
+      .write.partitionBy("source").parquet(dir)
+    new ParquetPartitionedTable(spark, dir, "source")
+  }
+
+  private val suite = ConstraintCompiler.compile(ConstraintSuite("cp", Seq(
+    SizeConsistency("sc", "n_tok", "tokens"),
+    Bounds("nt", "n_tok", Some(1), Some(8192)))))
+
+  test("kill-resume: second run processes exactly the remaining partitions") {
+    val base = Files.createTempDirectory("graft-cp").toString
+    val table = mkTable(s"$base/data")
+    val cp = new CheckpointStore(spark, s"$base/checkpoint")
+    val allParts = table.partitions()
+    assert(allParts.size == 5) // src0..3 + src_unknown
+
+    // simulated kill after 2 partitions
+    val r1 = PartitionedRunner.run(table, suite, cp, "run1",
+      violationsOut = Some(s"$base/violations"), maxPartitions = 2)
+    assert(r1.processed.size == 2)
+
+    val r2 = PartitionedRunner.run(table, suite, cp, "run2",
+      violationsOut = Some(s"$base/violations"))
+    assert(r2.processed.size == 3)
+    assert(r2.skipped.toSet == r1.processed.toSet)
+    assert(r2.processed.toSet.intersect(r1.processed.toSet).isEmpty)
+
+    // third run: nothing pending
+    val r3 = PartitionedRunner.run(table, suite, cp, "run3")
+    assert(r3.processed.isEmpty)
+    assert(r3.skipped.toSet == allParts.toSet)
+
+    // union of the two partial runs == one full fresh run
+    val fullCp = new CheckpointStore(spark, s"$base/checkpoint-full")
+    val full = PartitionedRunner.run(table, suite, fullCp, "full",
+      violationsOut = Some(s"$base/violations-full"))
+    val resumed = spark.read.parquet(s"$base/violations")
+      .orderBy("doc_id", "constraint_id")
+    val direct = spark.read.parquet(s"$base/violations-full")
+      .orderBy("doc_id", "constraint_id")
+    assert(resumed.collect().toSeq == direct.collect().toSeq)
+    assert(full.processed.size == 5)
+  }
+
+  test("changed constraint hash re-queues all partitions") {
+    val base = Files.createTempDirectory("graft-cp2").toString
+    val table = mkTable(s"$base/data")
+    val cp = new CheckpointStore(spark, s"$base/checkpoint")
+    PartitionedRunner.run(table, suite, cp, "run1")
+    val suite2 = ConstraintCompiler.compile(ConstraintSuite("cp", Seq(
+      SizeConsistency("sc", "n_tok", "tokens"),
+      Bounds("nt", "n_tok", Some(1), Some(4096))))) // tightened
+    assert(suite2.constraintHash != suite.constraintHash)
+    assert(cp.pending(table, suite2.constraintHash).size == 5)
+    assert(cp.pending(table, suite.constraintHash).isEmpty)
+  }
+
+  test("rewritten partition data re-queues just that partition") {
+    val base = Files.createTempDirectory("graft-cp3").toString
+    val table = mkTable(s"$base/data")
+    val cp = new CheckpointStore(spark, s"$base/checkpoint")
+    PartitionedRunner.run(table, suite, cp, "run1")
+    // overwrite one partition with different contents
+    SequenceGen.generate(spark, 123L, nSources = 1, numPartitions = 1)
+      .drop("source")
+      .write.mode("overwrite").parquet(s"$base/data/source=src2")
+    val pending = cp.pending(table, suite.constraintHash)
+    assert(pending == Seq("source=src2"))
+  }
+
+  test("checkpoint entries carry lineage + metrics") {
+    val base = Files.createTempDirectory("graft-cp4").toString
+    val table = mkTable(s"$base/data")
+    val cp = new CheckpointStore(spark, s"$base/checkpoint")
+    PartitionedRunner.run(table, suite, cp, "runX")
+    val rows = cp.load().orderBy("partition").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[String]("run_id") == "runX"))
+    assert(rows.forall(_.getAs[String]("constraint_hash") ==
+      suite.constraintHash))
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == 20000L)
+    // partitions with planted bad rows are invalid; lineage recorded
+    assert(rows.exists(!_.getAs[Boolean]("valid")))
+    assert(rows.forall(_.getAs[String]("snapshot_id").nonEmpty))
+  }
+}
