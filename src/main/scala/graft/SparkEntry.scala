@@ -1,13 +1,373 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.checks.{ColumnStats, DriftCheck}
+import graft.compile.ConstraintCompiler
+import graft.dsl.Constraint._
+import graft.dsl.ConstraintSuite
+import graft.exec.Validator
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.sketch.TDigestQuantiles
+
+/**
+ * Driver contract (see SURVEY.md §7): one entry per implemented operator
+ * family, each runnable on `/root/testdata/sf*` and (where expressible)
+ * paired with equivalent DuckDB SQL in [[SparkEntry.oracleSql]].
+ *
+ * The engine's own input table (`input_hint` tokenized sequences) is
+ * synthesized by [[graft.gen.SequenceGen]]; these queries bind the same
+ * operators to the driver's `documents` / `embeddings` / TPC-H-ish tables
+ * so the DuckDB oracle can check them.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The row-local suite used by the validation queries (compiled once —
+    * the compile-once/validate-many contract). */
+  private val docSuite = ConstraintSuite("documents-v1", Seq(
+    NotNull("docid_nn", "doc_id"),
+    Bounds("nchars_max", "n_chars", None, Some(BigDecimal(400))),
+    IsIn("lang_known", "lang", Seq("en", "de", "fr", "es")),
+    ExprIs("nchars_len", "n_chars = length(text)",
+      Some("concat(n_chars, ':', length(text))"), "n_chars == length(text)")))
+
+  /** Flagship: detail-path validation verdicts over documents at
+    * sf0.001 (driver smoke-checks rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = docs(spark, "/root/testdata/sf0.001")
+    Validator.validateWithDetails(
+      df, ConstraintCompiler.compile(docSuite), Seq("source"), "doc_id")
+      .verdicts.orderBy("source")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- validation engine (A4/A5 + C1-C5) --------------------------
+    "v_violations" -> ((s, dir) => {
+      val suite = ConstraintCompiler.compile(docSuite)
+      Validator.validateWithDetails(docs(s, dir), suite, Seq("source"))
+        .violations.orderBy("doc_id", "constraint_id")
+    }),
+    "v_verdict" -> ((s, dir) => {
+      val suite = ConstraintCompiler.compile(docSuite)
+      Validator.validate(docs(s, dir), suite, Seq("source"))
+        .orderBy("source")
+    }),
+    "v_stats" -> ((s, dir) => {
+      val prof = ColumnStats.profile(docs(s, dir), Seq("source"))
+      val rounded = prof.schema.fields.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.DoubleType)
+          F.round(F.col(f.name), 6).as(f.name)
+        else F.col(f.name)
+      }
+      prof.select(rounded.toSeq: _*).orderBy("source")
+    }),
+    "v_unique" -> ((s, dir) => {
+      val suite = ConstraintCompiler.compile(ConstraintSuite("u",
+        Seq(Unique("uniq_orderkey", "l_orderkey"))))
+      Validator.validateWithDetails(
+          table(s, dir, "lineitem"), suite, Seq.empty, "l_orderkey")
+        .violations.orderBy("doc_id")
+    }),
+    "v_ri" -> ((s, dir) => {
+      val suite = ConstraintCompiler.compile(ConstraintSuite("r",
+        Seq(RefIntegrity("ri_nation", "c_nationkey",
+          "nation10", "n_nationkey"))))
+      val dim = table(s, dir, "nation").filter(F.col("n_nationkey") < 10)
+      Validator.validateWithDetails(
+          table(s, dir, "customer"), suite, Seq.empty, "c_custkey",
+          dims = Map("nation10" -> dim))
+        .violations.orderBy("doc_id")
+    }),
+    "v_drift" -> ((s, dir) => {
+      DriftCheck("drift_nchars", "n_chars", 0.0, 640.0, 16, "psi",
+          threshold = 0.25, expected = "psi(n_chars) <= 0.25", minRows = 1L)
+        .metrics(docs(s, dir), Seq("source"))
+        .select(F.col("partition"), F.round(F.col("metric"), 6).as("psi"))
+        .orderBy("partition")
+    }),
+    "v_tdigest" -> ((s, dir) => {
+      // approximate quantiles — no exact SQL oracle; spec-tested vs exact
+      val td = TDigestQuantiles(Seq(0.25, 0.5, 0.75, 0.95, 0.99))
+      docs(s, dir)
+        .agg(td.column(F.col("n_chars").cast("double")).as("qs"))
+        .select(
+          F.round(F.element_at(F.col("qs"), 1), 2).as("q25"),
+          F.round(F.element_at(F.col("qs"), 2), 2).as("q50"),
+          F.round(F.element_at(F.col("qs"), 3), 2).as("q75"),
+          F.round(F.element_at(F.col("qs"), 4), 2).as("q95"),
+          F.round(F.element_at(F.col("qs"), 5), 2).as("q99"))
+    }),
+
+    // ---- dedup -------------------------------------------------------
+    "d_exact" -> ((s, dir) => {
+      val mdKey = (t: Column) =>
+        F.md5(F.encode(F.regexp_replace(F.trim(F.lower(t)), "\\s+", " "),
+          "UTF-8"))
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text", mdKey)
+        .orderBy("fp")
+    }),
+    "d_minhash" -> ((s, dir) => {
+      // near-dup corpus: each doc + a suffixed variant (planted pairs)
+      val d = docs(s, dir).select(F.col("doc_id"), F.col("text"))
+      val variant = d.select(
+        (F.col("doc_id") + 1000000).as("doc_id"),
+        F.concat(F.col("text"), F.lit(" graft variant suffix")).as("text"))
+      Dedup.minhashCandidates(d.unionAll(variant), "doc_id", "text",
+          numHashes = 64, bands = 16, minJaccard = 0.5)
+        .select(F.col("id_a"), F.col("id_b"),
+          F.round(F.col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "d_simhash" -> ((s, dir) => {
+      val d = docs(s, dir).select(F.col("doc_id"), F.col("text"))
+      val variant = d.select(
+        (F.col("doc_id") + 1000000).as("doc_id"),
+        F.concat(F.col("text"), F.lit(" graft variant suffix")).as("text"))
+      Dedup.simhashCandidates(d.unionAll(variant), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    "d_ngram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ids = d.filter(F.col("doc_id") < 20)
+        .select(F.col("doc_id").cast("string").as("id"))
+      val pairs = ids.select(F.col("id").as("id_a"))
+        .crossJoin(ids.select(F.col("id").as("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+      Dedup.ngramJaccard(pairs, d, "doc_id", "text", k = 3)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search -------------------------------------------
+    "s_knn_brute" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").select(
+        F.col("vec_id").cast("string").as("vec_id"),
+        F.col("embedding").cast("array<double>").as("embedding"))
+      val q = table(s, dir, "embeddings").filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").cast("string").as("vec_id"),
+          F.col("embedding").cast("array<double>").as("embedding"))
+      Similarity.cosineTopK(q, e, "vec_id", "embedding", k = 3)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+    "s_knn_lsh" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").select(
+        F.col("vec_id").cast("string").as("vec_id"),
+        F.col("embedding").cast("array<double>").as("embedding"))
+      val q = table(s, dir, "embeddings").filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").cast("string").as("vec_id"),
+          F.col("embedding").cast("array<double>").as("embedding"))
+      Similarity.lshTopK(q, e, "vec_id", "embedding", k = 3, dim = 64,
+          planes = 10)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- text analysis ------------------------------------------------
+    "t_tokens" -> ((s, dir) => {
+      docs(s, dir).select(
+          F.col("doc_id").cast("string").as("doc_id"),
+          TextAnalysis.tokenCount(F.col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    "t_quality" -> ((s, dir) => {
+      TextAnalysis.qualityScore(docs(s, dir), "text")
+        .select(
+          F.col("doc_id").cast("string").as("doc_id"),
+          F.col("alpha_ratio"), F.col("punct_ratio"), F.col("digit_ratio"),
+          F.col("stopword_ratio"), F.col("mean_word_len"),
+          F.col("quality_score"))
+        .orderBy("doc_id")
+    }),
+    "t_langid" -> ((s, dir) => {
+      docs(s, dir).select(
+          F.col("doc_id").cast("string").as("doc_id"),
+          TextAnalysis.langId(F.col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }))
+
+  // --------------------------------------------------------------------
+  // DuckDB oracles — same column NAMES and (where feasible) types;
+  // every double rounded identically on both sides.
+  // --------------------------------------------------------------------
+
+  private val docPred =
+    "(doc_id IS NOT NULL) AND (n_chars <= 400) AND " +
+      "(lang IN ('en','de','fr','es')) AND (n_chars = length(text))"
+
+  def oracleSql: Map[String, String] = Map(
+    "v_violations" ->
+      s"""SELECT * FROM (
+         |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         |         'nchars_max' AS constraint_id,
+         |         CAST(n_chars AS VARCHAR) AS observed,
+         |         'n_chars <= 400' AS expected
+         |  FROM documents WHERE n_chars > 400
+         |  UNION ALL
+         |  SELECT CAST(doc_id AS VARCHAR), 'lang_known', lang,
+         |         'lang in {en, de, fr, es}'
+         |  FROM documents WHERE lang NOT IN ('en','de','fr','es')
+         |) ORDER BY doc_id, constraint_id""".stripMargin,
+    "v_verdict" ->
+      s"""SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN NOT ($docPred) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bad_rows,
+         |  bool_and($docPred) AS rows_ok,
+         |  CAST(0 AS BIGINT) AS n_dataset_violations,
+         |  bool_and($docPred) AS valid
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "v_stats" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_nulls,
+        |  MIN(doc_id) AS doc_id_min, MAX(doc_id) AS doc_id_max,
+        |  ROUND(AVG(doc_id), 6) AS doc_id_avg,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+        |  ROUND(AVG(LENGTH(text)), 6) AS text_avg_len,
+        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+        |  ROUND(AVG(LENGTH(lang)), 6) AS lang_avg_len,
+        |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
+        |  MIN(n_chars) AS n_chars_min, MAX(n_chars) AS n_chars_max,
+        |  ROUND(AVG(n_chars), 6) AS n_chars_avg
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "v_unique" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+        |  'uniq_orderkey' AS constraint_id,
+        |  'count=' || CAST(count(*) AS VARCHAR) AS observed,
+        |  'l_orderkey unique across dataset' AS expected
+        |FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        |ORDER BY doc_id""".stripMargin,
+    "v_ri" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS doc_id,
+        |  'ri_nation' AS constraint_id,
+        |  CAST(c_nationkey AS VARCHAR) AS observed,
+        |  'c_nationkey exists in nation10.n_nationkey' AS expected
+        |FROM customer
+        |WHERE c_nationkey NOT IN
+        |  (SELECT n_nationkey FROM nation WHERE n_nationkey < 10)
+        |ORDER BY doc_id""".stripMargin,
+    "v_drift" ->
+      """WITH h AS (
+        |  SELECT 'source=' || source AS p,
+        |    LEAST(15, GREATEST(0, CAST(FLOOR(CAST(n_chars AS DOUBLE) / 40.0) AS INT))) AS b,
+        |    count(*) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |pt AS (SELECT p, SUM(c) AS t FROM h GROUP BY 1),
+        |g AS (SELECT b, SUM(c) AS gc FROM h GROUP BY 1),
+        |gt AS (SELECT SUM(c) AS t FROM h),
+        |grid AS (SELECT pt.p, bb.b FROM pt
+        |         CROSS JOIN (SELECT UNNEST(RANGE(16)) AS b) bb)
+        |SELECT grid.p AS partition, ROUND(SUM(
+        |  ((COALESCE(h.c,0) + 1e-6)/(CAST(pt.t AS DOUBLE) + 16e-6)
+        |   - (COALESCE(g.gc,0) + 1e-6)/(CAST(gt.t AS DOUBLE) + 16e-6))
+        |  * LN( ((COALESCE(h.c,0) + 1e-6)/(CAST(pt.t AS DOUBLE) + 16e-6))
+        |      / ((COALESCE(g.gc,0) + 1e-6)/(CAST(gt.t AS DOUBLE) + 16e-6)) )
+        |), 6) AS psi
+        |FROM grid
+        |LEFT JOIN h ON h.p = grid.p AND h.b = grid.b
+        |JOIN pt ON pt.p = grid.p
+        |LEFT JOIN g ON g.b = grid.b
+        |CROSS JOIN gt
+        |GROUP BY grid.p ORDER BY partition""".stripMargin,
+    "d_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  CAST(count(*) AS BIGINT) AS n_dups,
+        |  MIN(CAST(doc_id AS VARCHAR)) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "d_ngram" ->
+      """WITH g AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> array_to_string(w[i:i+2], ' '))) AS grams
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents WHERE doc_id < 20))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+        |FROM g a, g b WHERE a.id < b.id ORDER BY id_a, id_b""".stripMargin,
+    "s_knn_brute" ->
+      """WITH e AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+        |        CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.id AS query_id, c.id AS neighbor_id,
+        |    ROUND(list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v))
+        |         * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+        |  FROM q, e c WHERE q.id != c.id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "t_tokens" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |    AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_quality" ->
+      """WITH f0 AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |    length(text) AS nc,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+        |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> list_contains(['the','a','an','and','or','of','to','is','are','was','in','on','at','it','this','that','with','for','as','by'], lower(w)))) AS n_stop
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(nc, 1), 6) AS alpha_ratio,
+        |    ROUND(CAST(n_punct AS DOUBLE) / GREATEST(nc, 1), 6) AS punct_ratio,
+        |    ROUND(CAST(n_digit AS DOUBLE) / GREATEST(nc, 1), 6) AS digit_ratio,
+        |    ROUND(CAST(n_stop AS DOUBLE) / CAST(GREATEST(nt, 1) AS DOUBLE), 6) AS stopword_ratio,
+        |    ROUND(CAST(nc - nt + 1 AS DOUBLE) / CAST(GREATEST(nt, 1) AS DOUBLE), 6) AS mean_word_len,
+        |    nt AS n_tokens
+        |  FROM f0)
+        |SELECT doc_id, alpha_ratio, punct_ratio, digit_ratio,
+        |  stopword_ratio, mean_word_len,
+        |  ROUND(
+        |    (CASE WHEN alpha_ratio >= 0.6 THEN 1.0 ELSE alpha_ratio / 0.6 END) * 0.25
+        |    + (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE stopword_ratio * 20.0 END) * 0.2
+        |    + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 WHEN punct_ratio <= 0.4 THEN 0.5 ELSE 0.0 END) * 0.2
+        |    + (CASE WHEN digit_ratio <= 0.2 THEN 1.0 WHEN digit_ratio <= 0.5 THEN 0.5 ELSE 0.0 END) * 0.1
+        |    + (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 WHEN n_tokens BETWEEN 3 AND 9 THEN 0.5 ELSE 0.0 END) * 0.15
+        |    + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.1
+        |  , 6) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "t_langid" ->
+      """WITH s AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','sich','und','zu'], x))) AS s_de,
+        |  len(list_filter(w, x -> list_contains(['the','and','of','to','is','in','that','it','with','for','was','his','are','this'], x))) AS s_en,
+        |  len(list_filter(w, x -> list_contains(['el','la','los','las','y','es','una','por','que','en','para','con','del','se'], x))) AS s_es,
+        |  len(list_filter(w, x -> list_contains(['le','la','les','et','est','une','pour','que','dans','qui','pas','vous','des','sur'], x))) AS s_fr,
+        |  len(list_filter(w, x -> list_contains(['il','la','che','e','è','di','un','una','per','non','sono','con','del','si'], x))) AS s_it
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_it) <= 0 THEN 'und'
+        |       WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_it) THEN 'de'
+        |       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+        |       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+        |       WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+        |       WHEN s_it = GREATEST(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin)
 }

@@ -106,7 +106,19 @@ final case class DriftCheck(
   require(metric == "psi" || metric == "kl", s"unknown drift metric $metric")
 
   def violations(df: DataFrame, idCol: String, partitionCols: Seq[String],
-      dims: Map[String, DataFrame]): DataFrame = {
+      dims: Map[String, DataFrame]): DataFrame =
+    metrics(df, partitionCols)
+      .filter(F.col("metric") > threshold)
+      .select(
+        F.col("partition").as("doc_id"),
+        F.lit(id).as("constraint_id"),
+        F.concat(F.lit(metric + "="), F.round(F.col("metric"), 6)
+          .cast("string")).as("observed"),
+        F.lit(expected).as("expected"))
+
+  /** The per-partition divergence values themselves (all partitions
+    * above the support floor) — the inspectable face of the check. */
+  def metrics(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
     require(partitionCols.nonEmpty, s"drift check '$id' needs partitionCols")
     val width = (hi - lo) / buckets
     val partKey = F.concat_ws("/",
@@ -143,14 +155,8 @@ final case class DriftCheck(
     }
     grid
       .select(F.col("_p"), term.as("_t"))
-      .groupBy("_p").agg(F.sum("_t").as("_m"))
-      .filter(F.col("_m") > threshold)
-      .select(
-        F.col("_p").as("doc_id"),
-        F.lit(id).as("constraint_id"),
-        F.concat(F.lit(metric + "="), F.round(F.col("_m"), 6).cast("string"))
-          .as("observed"),
-        F.lit(expected).as("expected"))
+      .groupBy("_p").agg(F.sum("_t").as("metric"))
+      .withColumnRenamed("_p", "partition")
   }
 }
 
