@@ -1,0 +1,67 @@
+package graft
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+import graft.compile.ConstraintCompiler
+import graft.dsl.{ConstraintJson, ConstraintSuite}
+import graft.exec.Validator
+
+/**
+ * Golden-output conformance runner — the structural mirror of the
+ * reference's JSON-Schema-Test-Suite runners
+ * (`Draft2020Runner.java:166-258`): load a corpus of
+ * `{description, constraints, tests:[{row, valid}]}` cases, compile each
+ * constraint set once, validate each row, assert the golden boolean.
+ * Pass/fail/skip counters reported like `Draft2020Runner.java:260-273`.
+ */
+class ConformanceSpec extends SparkSpec {
+
+  private val rowSchema = StructType(Seq(
+    StructField("doc_id", StringType, nullable = true),
+    StructField("tokens", ArrayType(IntegerType, containsNull = false),
+      nullable = true),
+    StructField("n_tok", IntegerType, nullable = true),
+    StructField("source", StringType, nullable = true)))
+
+  private def rowFrom(n: JsonNode): Row = Row(
+    Option(n.get("doc_id")).filterNot(_.isNull).map(_.asText()).orNull,
+    Option(n.get("tokens")).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asInt()).toSeq).orNull,
+    Option(n.get("n_tok")).filterNot(_.isNull)
+      .map(v => Int.box(v.asInt())).orNull,
+    Option(n.get("source")).filterNot(_.isNull).map(_.asText()).orNull)
+
+  test("conformance corpus: every case matches its golden verdict") {
+    val in = getClass.getClassLoader
+      .getResourceAsStream("conformance/corpus.json")
+    assert(in != null, "corpus resource missing")
+    val corpus = new ObjectMapper().readTree(in)
+    var passed, failed = 0
+    val failures = Seq.newBuilder[String]
+
+    corpus.elements().asScala.foreach { c =>
+      val desc = c.get("description").asText()
+      val constraints = c.get("constraints").elements().asScala
+        .map(ConstraintJson.parseConstraint).toSeq
+      val suite = ConstraintCompiler.compile(
+        ConstraintSuite(desc, constraints))
+      c.get("tests").elements().asScala.foreach { t =>
+        val tdesc = t.get("description").asText()
+        val expected = t.get("valid").asBoolean()
+        val df = spark.createDataFrame(
+          java.util.List.of(rowFrom(t.get("row"))), rowSchema)
+        val got = Validator.validate(df, suite, Seq.empty)
+          .select("rows_ok").head().getBoolean(0)
+        if (got == expected) passed += 1
+        else { failed += 1; failures += s"$desc :: $tdesc (expected $expected, got $got)" }
+      }
+    }
+    info(s"conformance: $passed passed, $failed failed " +
+      f"(${100.0 * passed / (passed + failed)}%.1f%% pass rate)")
+    assert(failed == 0, failures.result().mkString("\n"))
+    assert(passed >= 60, "corpus unexpectedly small")
+  }
+}

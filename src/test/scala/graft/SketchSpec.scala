@@ -1,0 +1,67 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.sketch.{TDigest, TDigestQuantiles}
+
+/** t-digest correctness: quantile accuracy vs exact, merge-associativity
+  * under partial aggregation (the property that makes it valid as a
+  * distributed aggregate). */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantiles within rank-epsilon of exact on skewed data") {
+    val n = 50000
+    val rnd = new java.util.Random(7)
+    val data = Array.fill(n)(math.exp(5.0 + 0.8 * rnd.nextGaussian()))
+    val sorted = data.sorted
+    var st = TDigest.empty(200.0)
+    data.foreach(v => st = TDigest.insert(st, v))
+    for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.95, 0.99)) {
+      val est = TDigest.quantile(st, q)
+      // rank error: position of estimate in sorted data close to q*n
+      val rank = sorted.count(_ <= est).toDouble / n
+      assert(math.abs(rank - q) < 0.01,
+        s"q=$q est=$est rank=$rank")
+    }
+  }
+
+  test("merge of split digests ≈ single digest (partial agg soundness)") {
+    val rnd = new java.util.Random(11)
+    val data = Array.fill(20000)(rnd.nextDouble() * 1000)
+    val whole = data.foldLeft(TDigest.empty(200.0))(TDigest.insert)
+    val parts = data.grouped(3000).map(
+      _.foldLeft(TDigest.empty(200.0))(TDigest.insert)).toSeq
+    val merged = parts.reduce(TDigest.merge)
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val a = TDigest.quantile(whole, q)
+      val b = TDigest.quantile(merged, q)
+      assert(math.abs(a - b) / 1000.0 < 0.01, s"q=$q whole=$a merged=$b")
+    }
+    assert(merged.total == 20000L)
+  }
+
+  test("as a Spark aggregate: matches exact percentile within 1% rank") {
+    val df = spark.range(0L, 100000L, 1L, 16)
+      .selectExpr("cast(pmod(id * 2654435761, 10000) as double) as v")
+    val td = TDigestQuantiles(Seq(0.5, 0.95))
+    val got = df.agg(td.column($"v")).as[Seq[Double]].head()
+    val exact = df.selectExpr("percentile(v, array(0.5, 0.95)) as p")
+      .as[Seq[Double]].head()
+    assert(math.abs(got(0) - exact.head) / 10000.0 < 0.01)
+    assert(math.abs(got(1) - exact(1)) / 10000.0 < 0.01)
+  }
+
+  test("property: quantile estimates are monotone in q and within range") {
+    val gen = Gen.listOfN(500, Gen.chooseNum(-1e6, 1e6))
+    (1L to 20L).foreach { s =>
+      val xs = gen.apply(Gen.Parameters.default, Seed(s)).get
+      val st = xs.foldLeft(TDigest.empty(100.0))(TDigest.insert)
+      val qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0).map(TDigest.quantile(st, _))
+      assert(qs == qs.sorted, s"seed=$s not monotone: $qs")
+      assert(qs.head >= xs.min - 1e-9 && qs.last <= xs.max + 1e-9,
+        s"seed=$s out of range")
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.compile.ConstraintCompiler
+import graft.dsl.Constraint._
+import graft.dsl.ConstraintSuite
+import graft.streaming.StreamValidator
+
+/** Streaming validation: same compiled suite over a MemoryStream,
+  * violations appended per micro-batch; watermarked windowed verdicts. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Ev(doc_id: String, n_tok: Int, source: String,
+      ts: Timestamp)
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("violation stream emits per-batch violations") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, String)]
+    val suite = ConstraintCompiler.compile(ConstraintSuite("s", Seq(
+      Bounds("n_tok_max", "_2", None, Some(5)),
+      IsIn("src", "_3", Seq("web", "books")))))
+    val q = StreamValidator.violations(mem.toDF(), suite, "_1")
+      .writeStream.format("memory").queryName("viol_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(("a", 3, "web"), ("b", 9, "web"), ("c", 3, "mars"))
+      q.processAllAvailable()
+      val got = spark.table("viol_sink")
+        .select("doc_id", "constraint_id").as[(String, String)]
+        .collect().toSet
+      assert(got == Set(("b", "n_tok_max"), ("c", "src")))
+      // second micro-batch appends
+      mem.addData(("d", 99, "books"))
+      q.processAllAvailable()
+      assert(spark.table("viol_sink").count() == 3)
+    } finally q.stop()
+  }
+
+  test("windowed verdicts aggregate per event-time window and partition") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val suite = ConstraintCompiler.compile(ConstraintSuite("s", Seq(
+      Bounds("n_tok_max", "n_tok", None, Some(5)))))
+    val q = StreamValidator.windowedVerdicts(mem.toDF(), suite,
+        "ts", "10 minutes", "5 minutes", Seq("source"))
+      .writeStream.format("memory").queryName("verdict_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Ev("a", 3, "web", ts(1)), Ev("b", 9, "web", ts(2)),
+        Ev("c", 2, "books", ts(3)))
+      q.processAllAvailable()
+      // advance watermark far enough to finalize the first window
+      mem.addData(Ev("z", 1, "web", ts(40)))
+      q.processAllAvailable()
+      val rows = spark.table("verdict_sink")
+        .selectExpr("source", "n_rows", "n_bad_rows", "rows_ok")
+        .as[(String, Long, Long, Boolean)].collect().toSet
+      assert(rows.contains(("web", 2L, 1L, false)))
+      assert(rows.contains(("books", 1L, 0L, true)))
+    } finally q.stop()
+  }
+}
