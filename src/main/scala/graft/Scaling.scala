@@ -22,15 +22,20 @@ object Scaling {
   val DataDir = "/tmp/graft_bench_data"
   val DefaultRows = 8000000L
 
-  /** The full row-local suite used for throughput measurement — every
-    * constraint class the input_hint table exercises. */
+  /** The FULL suite of the north star — row-local keyword checks plus
+    * the dataset-level checks (uniqueness shuffle, broadcast-anti RI,
+    * drift histogram agg). Throughput is measured over this whole
+    * pipeline, not a scan microbench. */
   val benchSuite: ConstraintSuite = ConstraintSuite("bench-v1", Seq(
     C.NotNull("doc_id_present", "doc_id"),
     C.Matches("doc_id_shape", "doc_id", "^seq-[a-z0-9-]+$"),
     C.Bounds("n_tok_range", "n_tok", Some(1), Some(8192)),
     C.SizeConsistency("n_tok_consistent", "n_tok", "tokens"),
     C.EachElement("token_range", "tokens",
-      C.Bounds("tok", "$", Some(0), Some(50256)))))
+      C.Bounds("tok", "$", Some(0), Some(50256))),
+    C.Unique("doc_id_unique", "doc_id"),
+    C.RefIntegrity("source_known", "source", "sources", "source"),
+    C.NoDrift("n_tok_stable", "n_tok", 0, 2048, 32, "psi", 0.4)))
 
   /** Materialize the seeded table once (reused across runs/sessions). */
   def ensureData(spark: SparkSession, nRows: Long): String = {
@@ -65,8 +70,9 @@ object Scaling {
 
   private def runOnce(spark: SparkSession,
       df: org.apache.spark.sql.DataFrame, suite: CompiledSuite): Double = {
+    val dims = Map("sources" -> SequenceGen.sourcesDim(spark))
     val t0 = System.nanoTime()
-    Validator.validate(df, suite, Seq("source")).collect()
+    Validator.validate(df, suite, Seq("source"), dims = dims).collect()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -108,7 +114,7 @@ object Scaling {
       val nRows = rest.headOption.map(_.toLong).getOrElse(DefaultRows)
       val s = session(cpus.toInt)
       ensureData(s, nRows)
-      val (thr, _) = validationThroughput(s, cpus.toInt, nRows, reps = 5)
+      val (thr, _) = validationThroughput(s, cpus.toInt, nRows, reps = 8)
       println(f"""{"scaling_measure":{"cpus":$cpus,"rows":$nRows,"seq_per_sec":$thr%.0f}}""")
       s.stop()
     case "report" :: t8 :: t32 :: rest =>

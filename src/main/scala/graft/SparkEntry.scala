@@ -91,6 +91,17 @@ object SparkEntry {
         .select(F.col("partition"), F.round(F.col("metric"), 6).as("psi"))
         .orderBy("partition")
     }),
+    "v_window" -> ((s, dir) => {
+      // event-time windowed verdicts (batch face of the streaming path):
+      // the window-start becomes a verdict partition column
+      val suite = ConstraintCompiler.compile(ConstraintSuite("w", Seq(
+        Bounds("value_range", "value", Some(BigDecimal(0)),
+          Some(BigDecimal(400))))))
+      val ev = table(s, dir, "events").withColumn("w_start",
+        F.window(F.col("ts"), "1 hour").getField("start"))
+      Validator.validate(ev, suite, Seq("w_start", "event_type"))
+        .orderBy("w_start", "event_type")
+    }),
     "v_tdigest" -> ((s, dir) => {
       // approximate quantiles — no exact SQL oracle; spec-tested vs exact
       val td = TDigestQuantiles(Seq(0.25, 0.5, 0.75, 0.95, 0.99))
@@ -277,6 +288,15 @@ object SparkEntry {
         |LEFT JOIN g ON g.b = grid.b
         |CROSS JOIN gt
         |GROUP BY grid.p ORDER BY partition""".stripMargin,
+    "v_window" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN NOT (value >= 0 AND value <= 400)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_rows,
+        |  bool_and(value >= 0 AND value <= 400) AS rows_ok,
+        |  CAST(0 AS BIGINT) AS n_dataset_violations,
+        |  bool_and(value >= 0 AND value <= 400) AS valid
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "d_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |  CAST(count(*) AS BIGINT) AS n_dups,

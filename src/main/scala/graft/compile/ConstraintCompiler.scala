@@ -190,6 +190,22 @@ object ConstraintCompiler {
       val v = res(col, scope)
       nullPasses(v, F.size(F.array_distinct(v)) === F.size(v))
 
+    // Fast path for the hottest constraint shape (every token in
+    // [lo, hi]): a custom codegen Expression with a primitive early-exit
+    // loop — Spark's `forall` evaluates its lambda interpreted
+    // (ArrayForAll is CodegenFallback), which costs ~3× on 10^9-token
+    // scans. Whole-number bounds only (fractional bounds fall through).
+    // Whole-number INCLUSIVE bounds only: a ±1 exclusive adjustment
+    // would be wrong for fractional element types, which we can't see
+    // until analysis. Everything else falls through to `forall`.
+    case EachElement(_, col, Bounds(_, "$", mn, mx, false, false))
+        if mn.forall(_.isWhole) && mx.forall(_.isWhole) &&
+          (mn.nonEmpty || mx.nonEmpty) =>
+      val v = res(col, scope)
+      val lo = mn.map(_.toLong).getOrElse(Long.MinValue)
+      val hi = mx.map(_.toLong).getOrElse(Long.MaxValue)
+      nullPasses(v, graft.functions.ArrayAllBetween(v, lo, hi))
+
     case EachElement(_, col, elem) =>
       val v = res(col, scope)
       nullPasses(v, F.forall(v, x => lowerPred(elem, Some(x))))

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * `array_all_between(arr, lo, hi)` — true iff every non-null element of
+ * an integral array lies in [lo, hi]. The hot predicate of token-range
+ * validation (`EachElement(tokens, Bounds(...))`).
+ *
+ * Why a custom Expression (SURVEY.md preference (b)): Spark's
+ * higher-order functions (`forall`) evaluate their lambda INTERPRETED —
+ * `ArrayForAll` is CodegenFallback — so the per-token check pays a
+ * megamorphic eval() call per element. This expression generates a tight
+ * primitive loop with early exit inside whole-stage codegen: no lambda
+ * dispatch, no boxing, and the enclosing conjunction keeps
+ * short-circuiting. Null elements pass (JSON Schema applicability
+ * semantics — presence is `required`'s job).
+ */
+case class ArrayAllBetween(child: Expression, lo: Long, hi: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType | LongType | ShortType | ByteType |
+          DoubleType | FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"array_all_between requires array<numeric>, got $other")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  private def elementType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  private def elementNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val et = elementType
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v: Double = et match {
+          case IntegerType => arr.getInt(i).toDouble
+          case LongType    => arr.getLong(i).toDouble
+          case ShortType   => arr.getShort(i).toDouble
+          case ByteType    => arr.getByte(i).toDouble
+          case DoubleType  => arr.getDouble(i)
+          case FloatType   => arr.getFloat(i).toDouble
+        }
+        if (v < lo || v > hi) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val (jt, get) = elementType match {
+        case IntegerType => ("long", s"(long) $arr.getInt(i)")
+        case LongType    => ("long", s"$arr.getLong(i)")
+        case ShortType   => ("long", s"(long) $arr.getShort(i)")
+        case ByteType    => ("long", s"(long) $arr.getByte(i)")
+        case DoubleType  => ("double", s"$arr.getDouble(i)")
+        case FloatType   => ("double", s"(double) $arr.getFloat(i)")
+      }
+      val (loLit, hiLit) =
+        if (jt == "long") (s"${lo}L", s"${hi}L")
+        else (s"${lo}.0d", s"${hi}.0d")
+      val nullGuard =
+        if (elementNullable) s"if ($arr.isNullAt(i)) continue;" else ""
+      s"""
+         |${ev.value} = true;
+         |int n = $arr.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  $nullGuard
+         |  $jt v = $get;
+         |  if (v < $loLit || v > $hiLit) { ${ev.value} = false; break; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object ArrayAllBetween {
+  /** Column-facing constructor. */
+  def apply(c: Column, lo: Long, hi: Long): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      ArrayAllBetween(org.apache.spark.sql.GraftSqlBridge.expression(c),
+        lo, hi))
+}

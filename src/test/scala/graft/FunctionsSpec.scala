@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.ArrayAllBetween
+
+/** Custom codegen expression: parity with forall semantics, null
+  * handling, both codegen and interpreted paths, and that the compiler
+  * actually routes the hot constraint shape through it. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    ("in", Seq(1, 2, 3)),
+    ("edge", Seq(0, 50256)),
+    ("below", Seq(-1, 5)),
+    ("above", Seq(5, 50257)),
+    ("empty", Seq.empty[Int]))
+    .toDF("id", "arr")
+
+  test("matches forall semantics on int arrays (codegen path)") {
+    val got = df.select($"id",
+      ArrayAllBetween($"arr", 0L, 50256L).as("fast"),
+      F.forall($"arr", x => x >= 0 && x <= 50256).as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2), s"id=${r.getString(0)}")
+    }
+    assert(got.count(_.getBoolean(1)) == 3) // in, edge, empty
+  }
+
+  test("interpreted path agrees (eval without codegen)") {
+    // force interpreted evaluation via filter on a tiny in-memory frame
+    // with codegen disabled
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val got = df.select($"id", ArrayAllBetween($"arr", 0L, 50256L))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(got("in") && got("edge") && got("empty"))
+      assert(!got("below") && !got("above"))
+    }
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("null array is null (wrapped to pass by the compiler)") {
+    val withNull = Seq(("a", Seq(1)), ("b", null)).toDF("id", "arr")
+    val got = withNull.select($"id",
+      ArrayAllBetween($"arr", 0L, 10L).as("v")).collect()
+    assert(got.find(_.getString(0) == "b").get.isNullAt(1))
+  }
+
+  test("null elements pass (applicability semantics)") {
+    val withNullElems = Seq(("a", Seq[Integer](1, null, 3)))
+      .toDF("id", "arr")
+    val got = withNullElems
+      .select(ArrayAllBetween($"arr", 0L, 10L)).head().getBoolean(0)
+    assert(got)
+  }
+
+  test("long and double arrays supported") {
+    val longs = Seq(Tuple1(Seq(1L, 99999999999L))).toDF("arr")
+    assert(!longs.select(ArrayAllBetween($"arr", 0L, 100L))
+      .head().getBoolean(0))
+    val doubles = Seq(Tuple1(Seq(0.5, 1.5))).toDF("arr")
+    assert(doubles.select(ArrayAllBetween($"arr", 0L, 2L))
+      .head().getBoolean(0))
+    assert(!doubles.select(ArrayAllBetween($"arr", 1L, 2L))
+      .head().getBoolean(0))
+  }
+
+  test("compiler routes EachElement+Bounds through the fast path") {
+    import graft.dsl.Constraint._
+    import graft.dsl.ConstraintSuite
+    val suite = graft.compile.ConstraintCompiler.compile(
+      ConstraintSuite("f", Seq(EachElement("e", "arr",
+        Bounds("b", "$", Some(0), Some(50256))))))
+    val plan = df.select(suite.rowPredicate.as("ok"))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("arrayallbetween") ||
+      plan.contains("ArrayAllBetween"), plan)
+    // and fractional bounds fall back to forall
+    val frac = graft.compile.ConstraintCompiler.compile(
+      ConstraintSuite("f2", Seq(EachElement("e", "arr",
+        Bounds("b", "$", Some(BigDecimal("0.5")), None)))))
+    val plan2 = df.select(frac.rowPredicate.as("ok"))
+      .queryExecution.analyzed.toString
+    assert(plan2.contains("forall"), plan2)
+  }
+}
