@@ -53,7 +53,16 @@ object Scaling {
       spark: SparkSession, cpus: Int,
       nRows: Long = DefaultRows, reps: Int = 2): (Double, Long) = {
     val dir = ensureData(spark, nRows)
-    val suite = ConstraintCompiler.compile(benchSuite)
+    // GRAFT_BENCH_SUITE=rowlocal measures the scan+predicate path alone
+    // (no dataset-check shuffles) — the two regimes scale differently on
+    // one box and the report presents both
+    val suite = ConstraintCompiler.compile(
+      if (sys.env.get("GRAFT_BENCH_SUITE").contains("rowlocal"))
+        ConstraintSuite(benchSuite.id,
+          benchSuite.constraints.filterNot(c =>
+            c.isInstanceOf[C.Unique] || c.isInstanceOf[C.RefIntegrity] ||
+              c.isInstanceOf[C.NoDrift]))
+      else benchSuite)
     // DataFrame (and its file index) built once, outside the timed loop —
     // the validate-many analogue of the reference's reusable compiled
     // template; file listing is a constant driver cost at any cluster
@@ -117,12 +126,13 @@ object Scaling {
       val (thr, _) = validationThroughput(s, cpus.toInt, nRows, reps = 8)
       println(f"""{"scaling_measure":{"cpus":$cpus,"rows":$nRows,"seq_per_sec":$thr%.0f}}""")
       s.stop()
-    case "report" :: t8 :: t32 :: rest =>
+    case "report" :: lo :: hi :: tLo :: tHi :: rest =>
       val nRows = rest.headOption.map(_.toLong).getOrElse(DefaultRows)
-      writeReport(8, 32, t8.toDouble, t32.toDouble, nRows)
+      writeReport(lo.toInt, hi.toInt, tLo.toDouble, tHi.toDouble, nRows)
     case _ =>
       System.err.println(
-        "usage: graft.Scaling measure <cpus> [nRows] | report <thr8> <thr32> [nRows]")
+        "usage: graft.Scaling measure <cpus> [nRows] | " +
+          "report <loCpus> <hiCpus> <thrLo> <thrHi> [nRows]")
       sys.exit(2)
   }
 
@@ -142,8 +152,8 @@ object Scaling {
          || quantity | value |
          || --- | --- |
          || input | `input_hint` table, $nRows rows, 64 files, partitioned by `source` (8 sources + planted) |
-         || suite | 5 row-local constraints (bench-v1: notNull, pattern, bounds, size-consistency, per-token range) |
-         || job | fast-path validate: parquet scan → codegen'd predicate conjunction → per-partition verdict aggregate |
+         || suite | FULL north-star suite: 5 row-local constraints (notNull, pattern, bounds, size-consistency, per-token range via the codegen ArrayAllBetween) + uniqueness (salted two-phase agg) + referential integrity (broadcast anti) + PSI drift |
+         || job | one validate() action: pruned parquet scan → codegen predicate conjunction → per-partition verdict aggregate, fused with the three dataset-check subplans |
          || throughput @ local[$lo] | ${results(lo)}%.0f seq/s |
          || throughput @ local[$hi] | ${results(hi)}%.0f seq/s |
          || scaling efficiency $lo→$hi | ${eff}%.3f (target ≥ 0.8) |

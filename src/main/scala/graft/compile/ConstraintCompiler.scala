@@ -99,6 +99,9 @@ object ConstraintCompiler {
       case IfThen(id, i, t, e) =>
         IfThen(id, go(i, visiting), go(t, visiting), e.map(go(_, visiting)))
       case EachElement(id, col, e) => EachElement(id, col, go(e, visiting))
+      case EachElementFrom(id, col, st, e) =>
+        EachElementFrom(id, col, st, go(e, visiting))
+      case EachKey(id, col, e) => EachKey(id, col, go(e, visiting))
       case ContainsCount(id, col, e, mn, mx) =>
         ContainsCount(id, col, go(e, visiting), mn, mx)
       case PrefixItems(id, col, es) =>
@@ -225,6 +228,51 @@ object ConstraintCompiler {
       }
       nullPasses(v, checks.reduceOption(_ && _).getOrElse(F.lit(true)))
 
+    case EachElementFrom(_, col, start, elem) =>
+      val v = res(col, scope)
+      // slice is 1-based; elements before startIdx are exempt
+      val rest = F.slice(v, F.lit(start + 1),
+        F.greatest(F.size(v) - start, F.lit(0)))
+      nullPasses(v, F.forall(rest, x => lowerPred(elem, Some(x))))
+
+    case KeysIn(_, col, allowed) =>
+      val v = res(col, scope)
+      nullPasses(v,
+        F.forall(F.map_keys(v), k => k.isin(allowed: _*)))
+
+    case KeyCountBounds(_, col, mn, mx) =>
+      val v = res(col, scope)
+      val n = F.size(F.map_keys(v))
+      val lo = mn.map(n >= _)
+      val hi = mx.map(n <= _)
+      nullPasses(v, (lo.toSeq ++ hi.toSeq).reduceOption(_ && _)
+        .getOrElse(F.lit(true)))
+
+    case EachKey(_, col, elem) =>
+      val v = res(col, scope)
+      nullPasses(v, F.forall(F.map_keys(v), k => lowerPred(elem, Some(k))))
+
+    case TypeIs(_, col, tpe) =>
+      val v = res(col, scope)
+      val s = v.cast("string")
+      val numeric = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+      val isNum = s.rlike(numeric)
+      val raw = tpe match {
+        // integer ⊂ number: integer-valued floats count as integer
+        // (suite type.json semantics); cast guarded by the regex so ANSI
+        // never throws
+        case "integer" =>
+          F.when(isNum,
+            F.pmod(s.cast("decimal(38,10)"), F.lit(1)) === F.lit(0))
+            .otherwise(F.lit(false))
+        case "number"  => isNum
+        case "boolean" => F.lower(s).isin("true", "false")
+        case "string"  => F.lit(true)
+        case other =>
+          throw new CompileException(s"unsupported typeIs: $other")
+      }
+      nullPasses(v, raw)
+
     case SizeConsistency(_, intCol, arrCol) =>
       val i = res(intCol, scope)
       val a = res(arrCol, scope)
@@ -291,8 +339,13 @@ object ConstraintCompiler {
       case SizeBounds(_, col, _, _)   => if (col != "$") buf += col
       case UniqueItems(_, col)        => if (col != "$") buf += col
       case EachElement(_, col, _)     => if (col != "$") buf += col
+      case EachElementFrom(_, col, _, _) => if (col != "$") buf += col
       case ContainsCount(_, col, _, _, _) => if (col != "$") buf += col
       case PrefixItems(_, col, _)     => if (col != "$") buf += col
+      case KeysIn(_, col, _)          => if (col != "$") buf += col
+      case KeyCountBounds(_, col, _, _) => if (col != "$") buf += col
+      case EachKey(_, col, _)         => if (col != "$") buf += col
+      case TypeIs(_, col, _)          => if (col != "$") buf += col
       case SizeConsistency(_, i, a)   => buf += i; buf += a
       case _                          => ()
     }
@@ -315,6 +368,15 @@ object ConstraintCompiler {
       F.concat(F.lit("size="), F.size(F.col(col)).cast("string"))
     case PrefixItems(_, col, _) =>
       F.concat(F.lit("size="), F.size(F.col(col)).cast("string"))
+    case EachElementFrom(_, col, _, _) =>
+      F.concat(F.lit("size="), F.size(F.col(col)).cast("string"))
+    case KeysIn(_, col, _) =>
+      F.to_json(F.map_keys(F.col(col)))
+    case KeyCountBounds(_, col, _, _) =>
+      F.concat(F.lit("n_keys="),
+        F.size(F.map_keys(F.col(col))).cast("string"))
+    case EachKey(_, col, _) =>
+      F.to_json(F.map_keys(F.col(col)))
     case SizeConsistency(_, i, a) =>
       F.concat(F.col(i).cast("string"), F.lit("!=size:"),
         F.size(F.col(a)).cast("string"))
@@ -358,6 +420,15 @@ object ConstraintCompiler {
       s"count of elements of $col where (${expectedOf(e)}) in " +
         s"[$mn, ${mx.map(_.toString).getOrElse("∞")}]"
     case PrefixItems(_, col, es) => s"prefix of $col: ${es.size} schemas"
+    case EachElementFrom(_, col, start, e) =>
+      s"every element of $col from index $start: ${expectedOf(e)}"
+    case KeysIn(_, col, allowed) =>
+      s"keys of $col in {${allowed.mkString(", ")}}"
+    case KeyCountBounds(_, col, mn, mx) =>
+      s"key count of $col in [${mn.getOrElse(0)}, " +
+        s"${mx.map(_.toString).getOrElse("∞")}]"
+    case EachKey(_, col, e) => s"every key of $col: ${expectedOf(e)}"
+    case TypeIs(_, col, t)  => s"$col is of type $t"
     case SizeConsistency(_, i, a) => s"$i == size($a)"
     case ExprIs(_, p, _, exp)   => if (exp.nonEmpty) exp else p
     case AllOf(_, cs)  => cs.map(expectedOf).mkString("(", ") and (", ")")

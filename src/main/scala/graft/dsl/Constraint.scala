@@ -115,6 +115,41 @@ object Constraint {
       id: String, col: String, elems: Seq[Constraint])
       extends Constraint
 
+  /** `additionalItems` (Draft 4-2019) / `items`-after-`prefixItems`
+    * (2020-12): every element from 0-based position `startIdx` on
+    * satisfies the subschema. */
+  final case class EachElementFrom(
+      id: String, col: String, startIdx: Int, elem: Constraint)
+      extends Constraint
+
+  // ----------------------------------------------------------------
+  // Object (map-typed column) constraints — the `*Properties` keywords
+  // bound to MapType columns (struct fields are static, SURVEY.md §2.B)
+  // ----------------------------------------------------------------
+
+  /** `additionalProperties: false` with an allowlist — every key of the
+    * map column is in `allowed`. */
+  final case class KeysIn(id: String, col: String, allowed: Seq[String])
+      extends Constraint
+
+  /** `minProperties`/`maxProperties` — key-count bounds. */
+  final case class KeyCountBounds(
+      id: String, col: String, min: Option[Int], max: Option[Int])
+      extends Constraint
+
+  /** `propertyNames` — every key satisfies the subschema (`elem.col`
+    * must be `"$"`, bound to the key string). */
+  final case class EachKey(id: String, col: String, elem: Constraint)
+      extends Constraint
+
+  /** `type` — the value parses as the declared JSON-ish type. For
+    * statically typed columns this is enforced by the table schema; the
+    * dynamic form checks a STRING column's content (`integer` ⊂
+    * `number`, per the suite's type.json). Types: `integer`, `number`,
+    * `boolean`, `string`. */
+  final case class TypeIs(id: String, col: String, tpe: String)
+      extends Constraint
+
   // ----------------------------------------------------------------
   // Cross-column / escape hatch
   // ----------------------------------------------------------------
@@ -199,6 +234,8 @@ object Constraint {
       case Not(_, c0)            => walk(c0)(f)
       case IfThen(_, i, t, e)    => walk(i)(f); walk(t)(f); e.foreach(walk(_)(f))
       case EachElement(_, _, e)  => walk(e)(f)
+      case EachElementFrom(_, _, _, e) => walk(e)(f)
+      case EachKey(_, _, e)      => walk(e)(f)
       case ContainsCount(_, _, e, _, _) => walk(e)(f)
       case PrefixItems(_, _, es) => es.foreach(walk(_)(f))
       case _                     => ()

@@ -70,6 +70,15 @@ object ConstraintJson {
           int(n, "minCount").getOrElse(1), int(n, "maxCount"))
       case "prefixItems" =>
         PrefixItems(id, str(n, "col"), arr(n, "elems").map(parseConstraint))
+      case "eachElementFrom" =>
+        EachElementFrom(id, str(n, "col"),
+          int(n, "startIdx").getOrElse(0), parseConstraint(n.get("elem")))
+      case "keysIn" => KeysIn(id, str(n, "col"), strArr(n, "allowed"))
+      case "keyCountBounds" =>
+        KeyCountBounds(id, str(n, "col"), int(n, "min"), int(n, "max"))
+      case "eachKey" =>
+        EachKey(id, str(n, "col"), parseConstraint(n.get("elem")))
+      case "typeIs" => TypeIs(id, str(n, "col"), str(n, "tpe"))
       case "sizeConsistency" =>
         SizeConsistency(id, str(n, "intCol"), str(n, "arrCol"))
       case "expr" =>
@@ -146,6 +155,20 @@ object ConstraintJson {
       case PrefixItems(_, col, es) =>
         o.put("kind", "prefixItems").put("col", col)
         val a = o.putArray("elems"); es.foreach(e => a.add(toNode(e)))
+      case EachElementFrom(_, col, start, e) =>
+        o.put("kind", "eachElementFrom").put("col", col)
+          .put("startIdx", start)
+        o.set("elem", toNode(e))
+      case KeysIn(_, col, allowed) =>
+        o.put("kind", "keysIn").put("col", col)
+        val a = o.putArray("allowed"); allowed.foreach(a.add)
+      case KeyCountBounds(_, col, mn, mx) =>
+        o.put("kind", "keyCountBounds").put("col", col)
+        mn.foreach(o.put("min", _)); mx.foreach(o.put("max", _))
+      case EachKey(_, col, e) =>
+        o.put("kind", "eachKey").put("col", col); o.set("elem", toNode(e))
+      case TypeIs(_, col, t) =>
+        o.put("kind", "typeIs").put("col", col).put("tpe", t)
       case SizeConsistency(_, ic, ac) =>
         o.put("kind", "sizeConsistency").put("intCol", ic).put("arrCol", ac)
       case ExprIs(_, p, obs, exp) =>

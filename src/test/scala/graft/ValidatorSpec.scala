@@ -249,6 +249,48 @@ class ValidatorSpec extends SparkSpec {
     assert(drifted == Set("source=src0"))
   }
 
+  test("map-column object keywords: keysIn / keyCountBounds / eachKey") {
+    val df = Seq(
+      ("a", Map("codec" -> "png", "w" -> "64")),
+      ("b", Map("codec" -> "png", "rogue" -> "x")),
+      ("c", Map.empty[String, String]))
+      .toDF("id", "meta")
+    assert(!rowValid(df, KeysIn("k", "meta", Seq("codec", "w", "h"))))
+    assert(rowValid(df.filter($"id" =!= "b"),
+      KeysIn("k", "meta", Seq("codec", "w", "h"))))
+    assert(!rowValid(df, KeyCountBounds("k", "meta", Some(1), None)))
+    assert(rowValid(df, KeyCountBounds("k", "meta", None, Some(2))))
+    assert(rowValid(df.filter($"id" === "a"),
+      EachKey("k", "meta", Matches("m", "$", "^[a-z]+$"))))
+    assert(!rowValid(df.filter($"id" === "a"),
+      EachKey("k", "meta", Matches("m", "$", "^c"))))
+  }
+
+  test("additionalItems: elements past the prefix satisfy the schema") {
+    val df = seqDf(("d", Seq(999, 1, 2, 3), 4, "web"))
+    assert(rowValid(df, EachElementFrom("c", "tokens", 1,
+      Bounds("e", "$", Some(0), Some(10)))))
+    assert(!rowValid(df, EachElementFrom("c", "tokens", 0,
+      Bounds("e", "$", Some(0), Some(10)))))
+    // start beyond array length: vacuous pass
+    assert(rowValid(df, EachElementFrom("c", "tokens", 9,
+      Bounds("e", "$", Some(0), Some(0)))))
+  }
+
+  test("typeIs on string content: integer ⊂ number") {
+    val df = Seq(("42"), ("3.14"), ("1e3"), ("2.0"), ("abc"), ("true"))
+      .toDF("v")
+    def ok(tpe: String, value: String) =
+      rowValid(df.filter($"v" === value), TypeIs("t", "v", tpe))
+    assert(ok("integer", "42") && ok("number", "42"))
+    assert(!ok("integer", "3.14") && ok("number", "3.14"))
+    assert(ok("integer", "2.0")) // integer-valued float counts as integer
+    assert(ok("number", "1e3"))
+    assert(!ok("number", "abc") && !ok("integer", "abc"))
+    assert(ok("boolean", "true") && !ok("boolean", "abc"))
+    assert(ok("string", "abc"))
+  }
+
   test("fast path verdict: bad partitions flagged, counts correct") {
     val df = seqDf(
       ("a", Seq(1), 1, "web"), ("b", Seq(2), 1, "web"),
