@@ -33,7 +33,10 @@ object Bench {
     }
 
     // headline: fast-path validation throughput on the input_hint table
-    val (seqPerSec, nRows) = Scaling.validationThroughput(spark, cpus.toInt)
+    // (2M rows keeps the driver-contract run short; the rigorous
+    // large-input numbers live in BENCH/BASELINE.md)
+    val (seqPerSec, nRows) =
+      Scaling.validationThroughput(spark, cpus.toInt, nRows = 2000000L)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -40,31 +40,15 @@ object Dedup {
     * coefficients per hash function (a deterministic sequence like
     * `h1 + i·h2` correlates components: for large i the argmin sorts by
     * h2 alone, so unrelated docs sharing one shingle agree on most
-    * components — observed est_jaccard ≥ 0.58 on random pairs). ONE
-    * aggregate pass per row updates all minima; per-seed string
-    * re-hashing would be ~25× slower since higher-order-function
-    * subtrees are excluded from subexpression elimination. */
-  private val MinhashPrime = 2038074743L // MLlib's prime, < 2^31
-
+    * components — observed est_jaccard ≥ 0.58 on random pairs). The
+    * minima update runs in the custom codegen expression
+    * [[graft.functions.MinHashSig]] — the `aggregate`×`zip_with`
+    * formulation is interpreted at ~160 µs/shingle. */
   def minhashSignature(
       text: Column, numHashes: Int = 64, shingleK: Int = 5,
-      seed: Long = 42L): Column = {
-    val rnd = new java.util.Random(seed)
-    def coef() = 1L + math.floorMod(rnd.nextLong(), MinhashPrime - 1)
-    val coefs = F.array(Seq.fill(numHashes)(
-      F.struct(F.lit(coef()).as("a"), F.lit(coef()).as("b"))): _*)
-    // a_i·h1m + b_i < 2^31·2^31 + 2^31 < 2^62: no overflow under ANSI
-    F.aggregate(
-      TextAnalysis.shingleHashes(text, shingleK),
-      F.array_repeat(F.lit(Long.MaxValue), numHashes),
-      (acc, h1) => {
-        val h1m = F.pmod(h1, F.lit(MinhashPrime))
-        F.zip_with(acc, coefs, (m, c) =>
-          F.least(m, F.pmod(
-            c.getField("a") * h1m + c.getField("b"),
-            F.lit(MinhashPrime))))
-      })
-  }
+      seed: Long = 42L): Column =
+    graft.functions.MinHashSig(
+      TextAnalysis.shingleHashes(text, shingleK), numHashes, seed)
 
   /** LSH banding: candidate pairs whose signatures collide in ≥1 of
     * `bands` bands (rowsPerBand = numHashes/bands). Shuffle carries
@@ -122,28 +106,14 @@ object Dedup {
     * weighted sum of bit i across all word hashes is positive. Built as
     * one `aggregate` over the word array accumulating 64 counters —
     * stays columnar. */
-  /** Literal array of the 64 single-bit masks — lets the per-bit test be
-    * a bitwiseAND against a constant instead of a (column-indexed) shift,
-    * which Catalyst's higher-order functions can't express. */
-  private val BitMasks: Column =
-    F.array((0 until 64).map(i => F.lit(1L << i)): _*)
-
-  def simhash64(text: Column): Column = {
-    val words = F.filter(F.split(F.trim(F.lower(text)), "\\s+"),
-      w => F.length(w) > 0)
-    val counters = F.aggregate(
-      words,
-      F.array_repeat(F.lit(0), 64),
-      (acc, w) => {
-        val h = F.xxhash64(w)
-        F.zip_with(acc, BitMasks, (a, mask) =>
-          a + F.when(h.bitwiseAND(mask) =!= 0, 1).otherwise(-1))
-      })
-    F.aggregate(
-      F.zip_with(counters, BitMasks, (c, mask) =>
-        F.when(c > 0, mask).otherwise(F.lit(0L))),
-      F.lit(0L), (a, x) => a.bitwiseOR(x))
-  }
+  /** 64-bit SimHash via the custom codegen expression
+    * [[graft.functions.SimHash64]] — the higher-order-function
+    * formulation (aggregate over words × zip_with over 64 counters) runs
+    * interpreted at ~6 ms/doc; the codegen loop is bit-identical and
+    * orders of magnitude cheaper. Empty split artifacts are skipped
+    * inside the expression. */
+  def simhash64(text: Column): Column =
+    graft.functions.SimHash64(F.split(F.trim(F.lower(text)), "\\s+"))
 
   /** SimHash near-dup candidates: band the 64-bit hash into 4×16-bit
     * chunks (any pair within Hamming distance 3 shares ≥1 chunk), join

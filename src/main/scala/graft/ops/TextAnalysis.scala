@@ -125,13 +125,11 @@ object TextAnalysis {
       F.lower(F.regexp_replace(text, "[\\p{Punct}]", "")), "\\s+", " "))
 
   /** Rolling-hash shingle fingerprints: hashes of each k-word window —
-    * the building block for containment/near-dup detection. */
-  def shingleHashes(text: Column, k: Int = 5): Column = {
-    val words = F.split(F.trim(F.lower(text)), "\\s+")
-    val n = F.size(words)
-    F.when(n < k, F.array(F.xxhash64(F.concat_ws(" ", words))))
-      .otherwise(F.transform(
-        F.sequence(F.lit(0), n - k),
-        i => F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, F.lit(k))))))
-  }
+    * the building block for containment/near-dup detection. Runs in the
+    * custom codegen expression [[graft.functions.ShingleHashes]] (the
+    * transform/slice/concat_ws formulation is an interpreted lambda per
+    * window); hash values equal `xxhash64(concat_ws(' ', window))`. */
+  def shingleHashes(text: Column, k: Int = 5): Column =
+    graft.functions.ShingleHashes(
+      F.split(F.trim(F.lower(text)), "\\s+"), k)
 }
