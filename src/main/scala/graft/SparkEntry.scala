@@ -88,7 +88,8 @@ object SparkEntry {
       DriftCheck("drift_nchars", "n_chars", 0.0, 640.0, 16, "psi",
           threshold = 0.25, expected = "psi(n_chars) <= 0.25", minRows = 1L)
         .metrics(docs(s, dir), Seq("source"))
-        .select(F.col("partition"), F.round(F.col("metric"), 6).as("psi"))
+        .select(F.concat(F.lit("source="), F.col("source")).as("partition"),
+          F.round(F.col("metric"), 6).as("psi"))
         .orderBy("partition")
     }),
     "v_window" -> ((s, dir) => {
@@ -232,7 +233,8 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN NOT ($docPred) THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_bad_rows,
          |  bool_and($docPred) AS rows_ok,
-         |  CAST(0 AS BIGINT) AS n_dataset_violations,
+         |  CAST(0 AS BIGINT) AS n_partition_violations,
+         |  CAST(0 AS BIGINT) AS n_global_violations,
          |  bool_and($docPred) AS valid
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "v_stats" ->
@@ -294,7 +296,8 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN NOT (value >= 0 AND value <= 400)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_rows,
         |  bool_and(value >= 0 AND value <= 400) AS rows_ok,
-        |  CAST(0 AS BIGINT) AS n_dataset_violations,
+        |  CAST(0 AS BIGINT) AS n_partition_violations,
+        |  CAST(0 AS BIGINT) AS n_global_violations,
         |  bool_and(value >= 0 AND value <= 400) AS valid
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "d_exact" ->

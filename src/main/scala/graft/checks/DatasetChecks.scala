@@ -22,6 +22,17 @@ trait DatasetCheck extends Serializable {
       idCol: String,
       partitionCols: Seq[String],
       dims: Map[String, DataFrame]): DataFrame
+
+  /** Per-partition violation counts `(partitionCols..., _n_ds_viol)` for
+    * checks whose violations attribute to a partition (RI: the dangling
+    * row's partition; drift: the drifted partition). `None` for
+    * table-scope checks (uniqueness: a duplicate key may span
+    * partitions), whose counts apply globally to every verdict row. */
+  def violationCountsByPartition(
+      df: DataFrame,
+      idCol: String,
+      partitionCols: Seq[String],
+      dims: Map[String, DataFrame]): Option[DataFrame] = None
 }
 
 object DatasetCheck {
@@ -73,21 +84,33 @@ final case class RefIntegrityCheck(
     id: String, col: String, dimName: String, dimCol: String,
     expected: String)
     extends DatasetCheck {
-  def violations(df: DataFrame, idCol: String, partitionCols: Seq[String],
-      dims: Map[String, DataFrame]): DataFrame = {
+  private def dangling(df: DataFrame, idCol: String,
+      partitionCols: Seq[String], dims: Map[String, DataFrame]): DataFrame = {
     val dim = dims.getOrElse(dimName, throw new IllegalArgumentException(
       s"referential check '$id': dimension '$dimName' not provided"))
     val keys = dim.select(F.col(dimCol).cast("string").as("_dk")).distinct()
-    df.select(
-        F.col(idCol).cast("string").as("doc_id"),
-        F.col(col).cast("string").as("_fk"))
+    df.select(F.col(idCol).cast("string").as("doc_id") +:
+        F.col(col).cast("string").as("_fk") +:
+        partitionCols.map(F.col): _*)
       .join(F.broadcast(keys), F.col("_fk") === F.col("_dk"), "left_anti")
+  }
+
+  def violations(df: DataFrame, idCol: String, partitionCols: Seq[String],
+      dims: Map[String, DataFrame]): DataFrame =
+    dangling(df, idCol, partitionCols, dims)
       .select(
         F.col("doc_id"),
         F.lit(id).as("constraint_id"),
         F.coalesce(F.col("_fk"), F.lit("null")).as("observed"),
         F.lit(expected).as("expected"))
-  }
+
+  override def violationCountsByPartition(
+      df: DataFrame, idCol: String, partitionCols: Seq[String],
+      dims: Map[String, DataFrame]): Option[DataFrame] =
+    if (partitionCols.isEmpty) None
+    else Some(dangling(df, idCol, partitionCols, dims)
+      .groupBy(partitionCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("_n_ds_viol")))
 }
 
 /**
@@ -105,46 +128,59 @@ final case class DriftCheck(
     extends DatasetCheck {
   require(metric == "psi" || metric == "kl", s"unknown drift metric $metric")
 
+  private def partKeyCol(partitionCols: Seq[String]): org.apache.spark.sql.Column =
+    F.concat_ws("/", partitionCols.map(p =>
+      F.concat(F.lit(p + "="), F.col(p).cast("string"))): _*)
+
   def violations(df: DataFrame, idCol: String, partitionCols: Seq[String],
       dims: Map[String, DataFrame]): DataFrame =
     metrics(df, partitionCols)
       .filter(F.col("metric") > threshold)
       .select(
-        F.col("partition").as("doc_id"),
+        partKeyCol(partitionCols).as("doc_id"),
         F.lit(id).as("constraint_id"),
         F.concat(F.lit(metric + "="), F.round(F.col("metric"), 6)
           .cast("string")).as("observed"),
         F.lit(expected).as("expected"))
 
-  /** The per-partition divergence values themselves (all partitions
-    * above the support floor) — the inspectable face of the check. */
+  override def violationCountsByPartition(
+      df: DataFrame, idCol: String, partitionCols: Seq[String],
+      dims: Map[String, DataFrame]): Option[DataFrame] =
+    if (partitionCols.isEmpty) None
+    else Some(metrics(df, partitionCols)
+      .filter(F.col("metric") > threshold)
+      .select(partitionCols.map(F.col) :+ F.lit(1L).as("_n_ds_viol"): _*))
+
+  /** The per-partition divergence values `(partitionCols..., metric)` —
+    * the inspectable face of the check (all partitions above the
+    * support floor). */
   def metrics(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
     require(partitionCols.nonEmpty, s"drift check '$id' needs partitionCols")
     val width = (hi - lo) / buckets
-    val partKey = F.concat_ws("/",
-      partitionCols.map(p => F.concat(F.lit(p + "="), F.col(p).cast("string"))): _*)
+    val pcols = partitionCols.map(F.col)
     val bucket = F.least(F.lit(buckets - 1), F.greatest(F.lit(0),
       F.floor((F.col(col).cast("double") - lo) / width))).as("_b")
 
     // One pass: per-(partition, bucket) counts.
     val hist = df.filter(F.col(col).isNotNull)
-      .select(partKey.as("_p"), bucket)
-      .groupBy("_p", "_b").agg(F.count(F.lit(1)).as("_c"))
+      .select(pcols :+ bucket: _*)
+      .groupBy((pcols :+ F.col("_b")): _*)
+      .agg(F.count(F.lit(1)).as("_c"))
       .cache() // reused for global + grid; tiny (parts × buckets rows)
 
     val global = hist.groupBy("_b").agg(F.sum("_c").as("_gc"))
     // partitions below the support floor cannot evidence drift — skip them
-    val parts = hist.groupBy("_p").agg(F.sum("_c").as("_pt"))
+    val parts = hist.groupBy(pcols: _*).agg(F.sum("_c").as("_pt"))
       .filter(F.col("_pt") >= minRows)
     val allBuckets = df.sparkSession
       .range(buckets.toLong).select(F.col("id").as("_b"))
 
     val eps = 1e-6
     val grid = parts.crossJoin(allBuckets)
-      .join(hist, Seq("_p", "_b"), "left")
+      .join(hist, partitionCols :+ "_b", "left")
       .join(F.broadcast(global), Seq("_b"), "left")
     val gtot = F.sum(F.col("_gc")).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(F.col("_p")))
+      org.apache.spark.sql.expressions.Window.partitionBy(pcols: _*))
     val p = (F.coalesce(F.col("_c"), F.lit(0L)).cast("double") + eps) /
       (F.col("_pt").cast("double") + eps * buckets)
     val q = (F.coalesce(F.col("_gc"), F.lit(0L)).cast("double") + eps) /
@@ -154,9 +190,8 @@ final case class DriftCheck(
       case "kl"  => p * F.log(p / q)
     }
     grid
-      .select(F.col("_p"), term.as("_t"))
-      .groupBy("_p").agg(F.sum("_t").as("metric"))
-      .withColumnRenamed("_p", "partition")
+      .select(pcols :+ term.as("_t"): _*)
+      .groupBy(pcols: _*).agg(F.sum("_t").as("metric"))
   }
 }
 

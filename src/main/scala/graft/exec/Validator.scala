@@ -109,8 +109,15 @@ object Validator {
       df.groupBy(partitionCols.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Dataset-check outcome as counts, cross-joined into every verdict row
-    * (the counts DF is a single row — broadcast by construction). */
+  /** Dataset-check outcomes folded into the verdict rows.
+    *
+    * Partition-attributable checks (referential integrity, drift) count
+    * per partition and join onto the matching verdict row; table-scope
+    * checks (uniqueness — a duplicate key can span partitions) count
+    * globally and apply to every row. A partition is `valid` iff its
+    * rows pass, it has no attributable violations, and no table-scope
+    * check failed anywhere — the per-partition pass/fail the north rule
+    * asks for, without pretending cross-partition facts are local. */
   private def attachDatasetCounts(
       verdicts: DataFrame,
       df: DataFrame,
@@ -119,17 +126,41 @@ object Validator {
       partitionCols: Seq[String],
       dims: Map[String, DataFrame]): DataFrame = {
     if (suite.datasetChecks.isEmpty)
-      verdicts.withColumn("n_dataset_violations", F.lit(0L))
+      return verdicts
+        .withColumn("n_partition_violations", F.lit(0L))
+        .withColumn("n_global_violations", F.lit(0L))
         .withColumn("valid", F.col("rows_ok"))
-    else {
-      val total = suite.datasetChecks
-        .map(_.violations(df, idCol, partitionCols, dims))
-        .reduce(_ unionAll _)
-        .agg(F.count(F.lit(1)).as("n_dataset_violations"))
-      verdicts.crossJoin(F.broadcast(total))
-        .withColumn("valid",
-          F.col("rows_ok") && F.col("n_dataset_violations") === 0L)
+
+    val (attributable, global) = suite.datasetChecks.partition(c =>
+      partitionCols.nonEmpty &&
+        c.violationCountsByPartition(df, idCol, partitionCols, dims).nonEmpty)
+
+    val withPart = attributable
+      .flatMap(_.violationCountsByPartition(df, idCol, partitionCols, dims))
+      .reduceOption(_ unionAll _)
+      .map(_.groupBy(partitionCols.map(F.col): _*)
+        .agg(F.sum("_n_ds_viol").as("n_partition_violations")))
+    val v1 = withPart match {
+      case Some(counts) =>
+        verdicts.join(counts, partitionCols, "left")
+          .withColumn("n_partition_violations",
+            F.coalesce(F.col("n_partition_violations"), F.lit(0L)))
+      case None =>
+        verdicts.withColumn("n_partition_violations", F.lit(0L))
     }
+
+    val v2 =
+      if (global.isEmpty) v1.withColumn("n_global_violations", F.lit(0L))
+      else {
+        val total = global
+          .map(_.violations(df, idCol, partitionCols, dims))
+          .reduce(_ unionAll _)
+          .agg(F.count(F.lit(1)).as("n_global_violations"))
+        v1.crossJoin(F.broadcast(total))
+      }
+    v2.withColumn("valid",
+      F.col("rows_ok") && F.col("n_partition_violations") === 0L &&
+        F.col("n_global_violations") === 0L)
   }
 
   private def emptyViolations(df: DataFrame): DataFrame = {

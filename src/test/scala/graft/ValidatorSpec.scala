@@ -291,6 +291,36 @@ class ValidatorSpec extends SparkSpec {
     assert(ok("string", "abc"))
   }
 
+  test("verdicts attribute dataset violations per partition") {
+    val df = seqDf(
+      ("a", Seq(1), 1, "web"), ("b", Seq(1), 1, "mars"),
+      ("c", Seq(1), 1, "web"), ("c", Seq(1), 1, "web"))
+    val dim = Seq("web", "books").toDF("source")
+    val suite = ConstraintCompiler.compile(ConstraintSuite("s", Seq(
+      Unique("uniq", "doc_id"),
+      RefIntegrity("ri", "source", "sources", "source"))))
+    val v = Validator.validate(df, suite, Seq("source"),
+        dims = Map("sources" -> dim))
+      .orderBy("source").collect()
+    val mars = v.find(_.getAs[String]("source") == "mars").get
+    val web = v.find(_.getAs[String]("source") == "web").get
+    // RI violation lands on mars only; the duplicate key is table-scope
+    assert(mars.getAs[Long]("n_partition_violations") == 1L)
+    assert(web.getAs[Long]("n_partition_violations") == 0L)
+    assert(mars.getAs[Long]("n_global_violations") == 1L)
+    assert(web.getAs[Long]("n_global_violations") == 1L)
+    assert(v.forall(!_.getAs[Boolean]("valid")))
+    // without the global dup, web would be valid
+    val suite2 = ConstraintCompiler.compile(ConstraintSuite("s2", Seq(
+      RefIntegrity("ri", "source", "sources", "source"))))
+    val v2 = Validator.validate(df, suite2, Seq("source"),
+        dims = Map("sources" -> dim)).collect()
+    assert(v2.find(_.getAs[String]("source") == "web").get
+      .getAs[Boolean]("valid"))
+    assert(!v2.find(_.getAs[String]("source") == "mars").get
+      .getAs[Boolean]("valid"))
+  }
+
   test("fast path verdict: bad partitions flagged, counts correct") {
     val df = seqDf(
       ("a", Seq(1), 1, "web"), ("b", Seq(2), 1, "web"),
