@@ -170,8 +170,10 @@ object Scaling {
          |--num-executors {N,4N} ...` against the same generator output on
          |shared storage.
          |""".stripMargin
+    // BENCH/BASELINE.md is the curated report (incl. the CPU-control
+    // machine-ceiling calibration); raw re-runs land beside it.
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    Files.writeString(Paths.get("BENCH/SCALING_RUN.md"), md)
     println(md)
     println(f"""{"local[$lo]":${results(lo)}%.0f,"local[$hi]":${results(hi)}%.0f,"efficiency":$eff%.3f}""")
   }
