@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
  * Driver-contract bench: times every SparkEntry query on
  * `SPARK_GRAFT_SF_DIR`, plus the engine's headline metric — fast-path
  * validation throughput (sequences/sec) over a parquet-materialized
- * synthetic `input_hint` table — and prints ONE JSON line.
+ * synthetic `input_hint` table — and prints ONE JSON line (also written
+ * to `BENCH_LOCAL.json`, since stdout may be wrapped by the build tool).
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,9 +18,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Without this the default 128 MB packs the small-SF inputs into a
+      // handful of scan splits, capping parallelism regardless of cores
+      // (see Scaling.session + BENCH/BASELINE.md) — the exact knob that
+      // only matters when input-bytes/cores < maxPartitionBytes.
+      .config("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warm the JVM/codegen once with the cheapest query
     try SparkEntry.queries("t_tokens")(spark, sfDir).count()
@@ -41,8 +47,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validation_seq_per_sec":$seqPerSec%.0f,"validation_rows":$nRows}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validation_seq_per_sec":$seqPerSec%.0f,"validation_rows":$nRows}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
+    // the metrics line is the process's final stdout line
+    println(json)
   }
 }

@@ -161,12 +161,15 @@ final case class DriftCheck(
     val bucket = F.least(F.lit(buckets - 1), F.greatest(F.lit(0),
       F.floor((F.col(col).cast("double") - lo) / width))).as("_b")
 
-    // One pass: per-(partition, bucket) counts.
+    // One pass: per-(partition, bucket) counts. Referenced three times
+    // below (parts, global, grid) — Spark's ReuseExchange dedupes the
+    // identical shuffle exchanges so the INPUT SCAN still happens once;
+    // no .cache() (a per-plan-instance cache here leaks in long-lived
+    // sessions, since nothing ever unpersists it).
     val hist = df.filter(F.col(col).isNotNull)
       .select(pcols :+ bucket: _*)
       .groupBy((pcols :+ F.col("_b")): _*)
       .agg(F.count(F.lit(1)).as("_c"))
-      .cache() // reused for global + grid; tiny (parts × buckets rows)
 
     val global = hist.groupBy("_b").agg(F.sum("_c").as("_gc"))
     // partitions below the support floor cannot evidence drift — skip them

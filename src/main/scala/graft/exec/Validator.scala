@@ -96,17 +96,28 @@ object Validator {
 
   /** Per-partition verdict aggregate: every(pred), row + bad-row counts —
     * partial+final hash aggregate, so the shuffle carries one row per
-    * (input-partition × verdict-partition). */
+    * (input-partition × verdict-partition).
+    *
+    * The predicate is evaluated ONCE into a projected boolean column and
+    * the aggregates consume that column. Inlining `ok` into both `sum` and
+    * `every` duplicates the whole predicate tree in the generated
+    * aggregate function — double the work, and (pre-freshName) the trigger
+    * for the Janino local-redefinition fallback. */
   private def aggVerdict(
       df: DataFrame, ok: Column, partitionCols: Seq[String]): DataFrame = {
+    val okCol = "_graft_ok"
+    val projected = df
+      .select(partitionCols.map(F.col) :+ ok.as(okCol): _*)
+    val okc = F.col(okCol)
     val aggs = Seq(
       F.count(F.lit(1)).as("n_rows"),
-      F.sum(F.when(ok, 0L).otherwise(1L)).as("n_bad_rows"),
-      F.coalesce(F.every(ok), F.lit(true)).as("rows_ok"))
+      F.sum(F.when(okc, 0L).otherwise(1L)).as("n_bad_rows"),
+      F.coalesce(F.every(okc), F.lit(true)).as("rows_ok"))
     if (partitionCols.isEmpty)
-      df.agg(aggs.head, aggs.tail: _*)
+      projected.agg(aggs.head, aggs.tail: _*)
     else
-      df.groupBy(partitionCols.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
+      projected.groupBy(partitionCols.map(F.col): _*)
+        .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Dataset-check outcomes folded into the verdict rows.
@@ -131,12 +142,16 @@ object Validator {
         .withColumn("n_global_violations", F.lit(0L))
         .withColumn("valid", F.col("rows_ok"))
 
-    val (attributable, global) = suite.datasetChecks.partition(c =>
-      partitionCols.nonEmpty &&
-        c.violationCountsByPartition(df, idCol, partitionCols, dims).nonEmpty)
+    // Build each check's per-partition-count plan ONCE: re-invoking the
+    // method would construct (and for drift, re-derive) the whole subplan
+    // a second time for the same logical question.
+    val countPlans = suite.datasetChecks.map(c =>
+      c -> (if (partitionCols.isEmpty) None
+            else c.violationCountsByPartition(df, idCol, partitionCols, dims)))
+    val attributableCounts = countPlans.collect { case (_, Some(p)) => p }
+    val global = countPlans.collect { case (c, None) => c }
 
-    val withPart = attributable
-      .flatMap(_.violationCountsByPartition(df, idCol, partitionCols, dims))
+    val withPart = attributableCounts
       .reduceOption(_ unionAll _)
       .map(_.groupBy(partitionCols.map(F.col): _*)
         .agg(F.sum("_n_ds_viol").as("n_partition_violations")))

@@ -66,26 +66,34 @@ case class ArrayAllBetween(child: Expression, lo: Long, hi: Long)
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
+      // Every local via ctx.freshName: this body can be emitted more than
+      // once in a single generated function (e.g. the same predicate under
+      // two aggregate expressions) and fixed names make Janino reject the
+      // whole stage ("Redefinition of local variable"), silently dropping
+      // to interpreted execution.
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
       val (jt, get) = elementType match {
-        case IntegerType => ("long", s"(long) $arr.getInt(i)")
-        case LongType    => ("long", s"$arr.getLong(i)")
-        case ShortType   => ("long", s"(long) $arr.getShort(i)")
-        case ByteType    => ("long", s"(long) $arr.getByte(i)")
-        case DoubleType  => ("double", s"$arr.getDouble(i)")
-        case FloatType   => ("double", s"(double) $arr.getFloat(i)")
+        case IntegerType => ("long", s"(long) $arr.getInt($i)")
+        case LongType    => ("long", s"$arr.getLong($i)")
+        case ShortType   => ("long", s"(long) $arr.getShort($i)")
+        case ByteType    => ("long", s"(long) $arr.getByte($i)")
+        case DoubleType  => ("double", s"$arr.getDouble($i)")
+        case FloatType   => ("double", s"(double) $arr.getFloat($i)")
       }
       val (loLit, hiLit) =
         if (jt == "long") (s"${lo}L", s"${hi}L")
         else (s"${lo}.0d", s"${hi}.0d")
       val nullGuard =
-        if (elementNullable) s"if ($arr.isNullAt(i)) continue;" else ""
+        if (elementNullable) s"if ($arr.isNullAt($i)) continue;" else ""
       s"""
          |${ev.value} = true;
-         |int n = $arr.numElements();
-         |for (int i = 0; i < n; i++) {
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
          |  $nullGuard
-         |  $jt v = $get;
-         |  if (v < $loLit || v > $hiLit) { ${ev.value} = false; break; }
+         |  $jt $v = $get;
+         |  if ($v < $loLit || $v > $hiLit) { ${ev.value} = false; break; }
          |}
        """.stripMargin
     })

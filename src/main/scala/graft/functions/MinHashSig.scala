@@ -67,23 +67,32 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
     val aRef = ctx.addReferenceObj("minhashA", coefs._1, "long[]")
     val bRef = ctx.addReferenceObj("minhashB", coefs._2, "long[]")
     nullSafeCodeGen(ctx, ev, arr => {
+      // Locals via ctx.freshName — fixed names collide (Janino
+      // "Redefinition of local variable") when the body is emitted twice
+      // in one generated function, killing whole-stage codegen.
+      val mins = ctx.freshName("mins")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val hm = ctx.freshName("hm")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
       val nullGuard =
-        if (elementNullable) s"if ($arr.isNullAt(i)) continue;" else ""
+        if (elementNullable) s"if ($arr.isNullAt($i)) continue;" else ""
       s"""
-         |long[] mins = new long[$numHashes];
-         |java.util.Arrays.fill(mins, Long.MAX_VALUE);
-         |int n = $arr.numElements();
-         |for (int i = 0; i < n; i++) {
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
          |  $nullGuard
-         |  long hm = graft.functions.MinHashSig.posMod($arr.getLong(i));
-         |  for (int j = 0; j < $numHashes; j++) {
-         |    long v = graft.functions.MinHashSig.posMod(
-         |      $aRef[j] * hm + $bRef[j]);
-         |    if (v < mins[j]) mins[j] = v;
+         |  long $hm = graft.functions.MinHashSig.posMod($arr.getLong($i));
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $v = graft.functions.MinHashSig.posMod(
+         |      $aRef[$j] * $hm + $bRef[$j]);
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
          |  }
          |}
          |${ev.value} =
-         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
        """.stripMargin
     })
   }

@@ -66,7 +66,6 @@ object ShingleHashes {
     * buffer; one allocation per window only for the final hash input. */
   def hashAll(words: ArrayData, k: Int): Array[Long] = {
     val n = words.numElements()
-    val eff = math.max(1, n - k + 1)
     val out = new Array[Long](if (n < k) 1 else n - k + 1)
     var w = 0
     while (w < out.length) {
@@ -101,7 +100,6 @@ object ShingleHashes {
       out(w) = XXH64.hashUTF8String(UTF8String.fromBytes(buf), 42L)
       w += 1
     }
-    val _ = eff
     out
   }
 

@@ -46,7 +46,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       if (!arr.isNullAt(i)) {
         val w = arr.getUTF8String(i)
         if (w.numBytes() > 0) {
-          val h = hashWord(w)
+          val h = SimHash64.hashWord(w)
           var b = 0
           while (b < 64) {
             counters(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
@@ -68,29 +68,41 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
+      // Locals via ctx.freshName — fixed names collide (Janino
+      // "Redefinition of local variable") when the body is emitted twice
+      // in one generated function, killing whole-stage codegen.
+      val counters = ctx.freshName("counters")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val w = ctx.freshName("w")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b")
       val nullGuard =
-        if (elementNullable) s"if ($arr.isNullAt(i)) continue;" else ""
+        if (elementNullable) s"if ($arr.isNullAt($i)) continue;" else ""
       s"""
-         |int[] counters = new int[64];
-         |int n = $arr.numElements();
-         |for (int i = 0; i < n; i++) {
+         |int[] $counters = new int[64];
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
          |  $nullGuard
-         |  org.apache.spark.unsafe.types.UTF8String w = $arr.getUTF8String(i);
-         |  if (w.numBytes() == 0) continue;
-         |  long h = graft.functions.SimHash64.hashWord(w);
-         |  for (int b = 0; b < 64; b++) {
-         |    counters[b] += (((h >>> b) & 1L) == 1L) ? 1 : -1;
+         |  org.apache.spark.unsafe.types.UTF8String $w = $arr.getUTF8String($i);
+         |  if ($w.numBytes() == 0) continue;
+         |  long $h = graft.functions.SimHash64.hashWord($w);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $counters[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
          |  }
          |}
          |${ev.value} = 0L;
-         |for (int b = 0; b < 64; b++) {
-         |  if (counters[b] > 0) ${ev.value} |= (1L << b);
+         |for (int $b2 = 0; $b2 < 64; $b2++) {
+         |  if ($counters[$b2] > 0) ${ev.value} |= (1L << $b2);
          |}
        """.stripMargin
     })
 
-  private def hashWord(w: UTF8String): Long = SimHash64.hashWord(w)
-
+  // NOTE: no instance-level `hashWord` helper — a same-named (even
+  // private) member on the case class suppresses scalac's static
+  // forwarder for the companion's method, and the generated Java calls
+  // `graft.functions.SimHash64.hashWord(...)` as a static.
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

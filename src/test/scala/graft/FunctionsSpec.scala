@@ -77,6 +77,54 @@ class FunctionsSpec extends SparkSpec {
       .head().getBoolean(0))
   }
 
+  test("duplicate emission in one codegen function compiles (freshName)") {
+    // Round-1 regression: every custom expression hardcoded Java locals
+    // (i, n, counters, mins) in doGenCode; two copies of the body in ONE
+    // generated function made Janino throw "Redefinition of local
+    // variable" and Spark silently fell back to interpreted execution.
+    // codegen.fallback=false turns that silent fallback into a test
+    // failure; each expression is referenced twice in a single projection
+    // / aggregate so the collision would fire deterministically.
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      // parquet-backed input: a local Seq relation is constant-folded by
+      // ConvertToLocalRelation and the expressions never reach codegen
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-cg").toString + "/docs"
+      Seq(("a", Seq(1, 2, 3), "one two three four five six"),
+        ("b", Seq(4, 5), "seven eight nine ten eleven twelve"))
+        .toDF("id", "arr", "text")
+        .write.mode("overwrite").parquet(dir)
+      val docs = spark.read.parquet(dir)
+      val words = F.split(F.lower($"text"), "\\s+")
+      val twice = docs.select(
+        ArrayAllBetween($"arr", 0L, 10L).as("p1"),
+        ArrayAllBetween($"arr", 1L, 9L).as("p2"),
+        graft.functions.SimHash64(words).as("s1"),
+        graft.functions.SimHash64(F.slice(words, 1, 3)).as("s2"),
+        graft.functions.MinHashSig(
+          graft.functions.ShingleHashes(words, 2), 16, 42L).as("m1"),
+        graft.functions.MinHashSig(
+          graft.functions.ShingleHashes(words, 3), 16, 7L).as("m2"))
+      assert(twice.collect().length == 2)
+
+      // the original trigger: the same predicate under sum(when) AND
+      // every() in the verdict aggregate
+      import graft.dsl.Constraint._
+      import graft.dsl.ConstraintSuite
+      val suite = graft.compile.ConstraintCompiler.compile(
+        ConstraintSuite("cg", Seq(
+          EachElement("e1", "arr", Bounds("b1", "$", Some(0), Some(10))),
+          EachElement("e2", "arr", Bounds("b2", "$", Some(1), Some(9))))))
+      val verdict = graft.exec.Validator
+        .validate(docs.withColumn("doc_id", $"id"), suite, Seq.empty)
+      assert(verdict.collect().length == 1)
+      // and the executed plan really is whole-stage-codegen'd (printed as
+      // the `*(n)` prefix on codegen'd spans)
+      val executed = verdict.queryExecution.executedPlan.toString
+      assert(executed.contains("*("), executed)
+    }
+  }
+
   test("compiler routes EachElement+Bounds through the fast path") {
     import graft.dsl.Constraint._
     import graft.dsl.ConstraintSuite
