@@ -28,6 +28,19 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Near-dup test corpus: every document plus a suffixed variant
+    * (planted pairs at ids +1000000) — the same construction the DuckDB
+    * oracles rebuild in SQL. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(F.col("doc_id"), F.col("text"))
+    d.unionAll(d.select(
+      (F.col("doc_id") + 1000000).as("doc_id"),
+      F.concat(F.col("text"), F.lit(" graft variant suffix")).as("text")))
+  }
+
+  private val QProbs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+  private val QNames = Seq("q25", "q50", "q75", "q95", "q99")
+
   /** The row-local suite used by the validation queries (compiled once —
     * the compile-once/validate-many contract). */
   private val docSuite = ConstraintSuite("documents-v1", Seq(
@@ -104,16 +117,25 @@ object SparkEntry {
         .orderBy("w_start", "event_type")
     }),
     "v_tdigest" -> ((s, dir) => {
-      // approximate quantiles — no exact SQL oracle; spec-tested vs exact
-      val td = TDigestQuantiles(Seq(0.25, 0.5, 0.75, 0.95, 0.99))
-      docs(s, dir)
-        .agg(td.column(F.col("n_chars").cast("double")).as("qs"))
-        .select(
-          F.round(F.element_at(F.col("qs"), 1), 2).as("q25"),
-          F.round(F.element_at(F.col("qs"), 2), 2).as("q50"),
-          F.round(F.element_at(F.col("qs"), 3), 2).as("q75"),
-          F.round(F.element_at(F.col("qs"), 4), 2).as("q95"),
-          F.round(F.element_at(F.col("qs"), 5), 2).as("q99"))
+      // t-digest vs the EXACT quantiles, as oracle-checkable output:
+      // the exact values (rounded) hash-compare against DuckDB's
+      // quantile_cont, and the sketch's accuracy contract (within 2%
+      // relative or 0.5 absolute of exact) is emitted as booleans that
+      // must all be true.
+      val td = TDigestQuantiles(QProbs)
+      val agged = docs(s, dir).agg(
+        td.column(F.col("n_chars").cast("double")).as("qs"),
+        F.expr("percentile(CAST(n_chars AS DOUBLE), " +
+          "array(0.25D, 0.5D, 0.75D, 0.95D, 0.99D))").as("ex"))
+      val cols = QNames.zipWithIndex.flatMap { case (n, i) =>
+        val ex = F.element_at(F.col("ex"), i + 1)
+        val qd = F.element_at(F.col("qs"), i + 1)
+        Seq(
+          F.round(ex, 2).as(n),
+          (F.abs(qd - ex) <=
+            F.greatest(F.abs(ex) * 0.02, F.lit(0.5))).as(s"${n}_ok"))
+      }
+      agged.select(cols: _*)
     }),
 
     // ---- dedup -------------------------------------------------------
@@ -125,24 +147,69 @@ object SparkEntry {
         .orderBy("fp")
     }),
     "d_minhash" -> ((s, dir) => {
-      // near-dup corpus: each doc + a suffixed variant (planted pairs)
-      val d = docs(s, dir).select(F.col("doc_id"), F.col("text"))
-      val variant = d.select(
-        (F.col("doc_id") + 1000000).as("doc_id"),
-        F.concat(F.col("text"), F.lit(" graft variant suffix")).as("text"))
-      Dedup.minhashCandidates(d.unionAll(variant), "doc_id", "text",
-          numHashes = 64, bands = 16, minJaccard = 0.5)
-        .select(F.col("id_a"), F.col("id_b"),
-          F.round(F.col("est_jaccard"), 6).as("est_jaccard"))
+      // Full MinHash+LSH near-dup pipeline, made value-exact checkable:
+      // 32 bands × 2 rows pushes LSH recall at J ≥ 0.8 to 1 − 4e-15, the
+      // candidates are verified with EXACT shingle Jaccard, and only
+      // verified pairs are emitted — a set DuckDB derives independently
+      // by brute-force exact Jaccard over all pairs. (The probabilistic
+      // est_jaccard stays spec-tested in OpsSpec; it has no exact oracle
+      // by nature.)
+      val corpus = nearDupCorpus(s, dir)
+      val cands = Dedup.minhashCandidates(corpus, "doc_id", "text",
+          numHashes = 64, bands = 32, minJaccard = 0.0)
+        .select("id_a", "id_b")
+      Dedup.ngramJaccard(cands, corpus, "doc_id", "text", k = 5)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     }),
     "d_simhash" -> ((s, dir) => {
-      val d = docs(s, dir).select(F.col("doc_id"), F.col("text"))
-      val variant = d.select(
-        (F.col("doc_id") + 1000000).as("doc_id"),
-        F.concat(F.col("text"), F.lit(" graft variant suffix")).as("text"))
-      Dedup.simhashCandidates(d.unionAll(variant), "doc_id", "text",
-          maxHamming = 3)
+      // SimHash banding pipeline, deterministically checkable: banded
+      // candidates at Hamming ≤ 3, verified down to pairs with EQUAL
+      // normalized fingerprints (identical normalized text ⟹ identical
+      // SimHash ⟹ Hamming 0 ⟹ recall exactly 1). DuckDB derives the
+      // same set from a fingerprint self-join. Near-dup (0 < Hamming ≤ 3)
+      // behavior stays spec-tested in OpsSpec. The corpus plants EXACT
+      // copies (ids +2000000, reformatted with double spaces — same
+      // normalized fingerprint) alongside the suffix variants, so the
+      // emitted set is 500+ pairs, not vacuously empty.
+      val d0 = docs(s, dir).select(F.col("doc_id"), F.col("text"))
+      val copies = d0.select(
+        (F.col("doc_id") + 2000000).as("doc_id"),
+        F.regexp_replace(F.col("text"), " ", "  ").as("text"))
+      val corpus = nearDupCorpus(s, dir).unionAll(copies)
+      val cands = Dedup.simhashCandidates(corpus, "doc_id", "text",
+        maxHamming = 3)
+      val fp = corpus.select(
+        F.col("doc_id").cast("string").as("_id"),
+        F.md5(F.encode(F.regexp_replace(
+          F.trim(F.lower(F.col("text"))), "\\s+", " "), "UTF-8")).as("_fp"))
+      cands
+        .join(fp.withColumnRenamed("_id", "id_a")
+          .withColumnRenamed("_fp", "fp_a"), Seq("id_a"))
+        .join(fp.withColumnRenamed("_id", "id_b")
+          .withColumnRenamed("_fp", "fp_b"), Seq("id_b"))
+        .filter(F.col("fp_a") === F.col("fp_b"))
+        .select(F.col("id_a"), F.col("id_b"),
+          F.col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+    "d_embed" -> ((s, dir) => {
+      // Embedding near-dup with structurally-guaranteed recall: planted
+      // variants are POSITIVELY SCALED copies (×2), so every sign-bit
+      // LSH bucket matches its source exactly and the planted pairs are
+      // recovered with probability 1; cosine ≥ 0.999 filters the random
+      // natural pairs (max ≈ 0.42 in this corpus).
+      val base = table(s, dir, "embeddings").filter(F.col("vec_id") < 200)
+        .select(F.col("vec_id"),
+          F.col("embedding").cast("array<double>").as("v"))
+      val corpus = base.select(
+          F.col("vec_id").cast("string").as("vec_id"), F.col("v"))
+        .unionAll(base.select(
+          (F.col("vec_id") + 1000000).cast("string").as("vec_id"),
+          F.transform(F.col("v"), x => x * 2.0).as("v")))
+      Dedup.embeddingNearDup(corpus, "vec_id", "v", dim = 64,
+          minCosine = 0.999, planes = 12)
         .orderBy("id_a", "id_b")
     }),
     "d_ngram" -> ((s, dir) => {
@@ -203,6 +270,31 @@ object SparkEntry {
           F.col("doc_id").cast("string").as("doc_id"),
           TextAnalysis.langId(F.col("text")).as("lang_pred"))
         .orderBy("doc_id")
+    }),
+
+    // ---- multimodal ---------------------------------------------------
+    "m_media" -> ((s, dir) => {
+      // Real image-header decode over deterministic payloads: PNG/JPEG
+      // bytes are BUILT with doc-derived dimensions, then PARSED back by
+      // the pure-JVM header parsers inside the mapPartitions decode
+      // batch — the oracle recomputes the dimensions from doc_id alone,
+      // so any parser/builder disagreement breaks the hash match.
+      import s.implicits._
+      import graft.ops.{ImageHeaders, MediaRow, Multimodal}
+      val rows = docs(s, dir).filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (16 + id % 64).toInt
+          val h = (16 + (id * 7) % 64).toInt
+          val payload =
+            if (id % 2 == 0) ImageHeaders.buildPng(w, h)
+            else ImageHeaders.buildJpeg(w, h)
+          MediaRow(id.toString, "image", payload, Map.empty)
+        }
+      Multimodal.extractFeatures(rows).toDF()
+        .select(F.col("doc_id"), F.col("width"), F.col("height"),
+          F.col("byte_len"))
+        .orderBy("doc_id")
     }))
 
   // --------------------------------------------------------------------
@@ -220,11 +312,12 @@ object SparkEntry {
          |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          |         'nchars_max' AS constraint_id,
          |         CAST(n_chars AS VARCHAR) AS observed,
-         |         'n_chars <= 400' AS expected
+         |         'n_chars <= 400' AS expected,
+         |         '/n_chars' AS instance_path
          |  FROM documents WHERE n_chars > 400
          |  UNION ALL
          |  SELECT CAST(doc_id AS VARCHAR), 'lang_known', lang,
-         |         'lang in {en, de, fr, es}'
+         |         'lang in {en, de, fr, es}', '/lang'
          |  FROM documents WHERE lang NOT IN ('en','de','fr','es')
          |) ORDER BY doc_id, constraint_id""".stripMargin,
     "v_verdict" ->
@@ -255,14 +348,16 @@ object SparkEntry {
       """SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
         |  'uniq_orderkey' AS constraint_id,
         |  'count=' || CAST(count(*) AS VARCHAR) AS observed,
-        |  'l_orderkey unique across dataset' AS expected
+        |  'l_orderkey unique across dataset' AS expected,
+        |  '/l_orderkey' AS instance_path
         |FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
         |ORDER BY doc_id""".stripMargin,
     "v_ri" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS doc_id,
         |  'ri_nation' AS constraint_id,
         |  CAST(c_nationkey AS VARCHAR) AS observed,
-        |  'c_nationkey exists in nation10.n_nationkey' AS expected
+        |  'c_nationkey exists in nation10.n_nationkey' AS expected,
+        |  '/c_nationkey' AS instance_path
         |FROM customer
         |WHERE c_nationkey NOT IN
         |  (SELECT n_nationkey FROM nation WHERE n_nationkey < 10)
@@ -392,5 +487,110 @@ object SparkEntry {
         |       WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
         |       WHEN s_it = GREATEST(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
         |       ELSE 'und' END AS lang_pred
-        |FROM sc ORDER BY doc_id""".stripMargin)
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "v_tdigest" ->
+      """WITH q AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+        |    [0.25, 0.5, 0.75, 0.95, 0.99]) AS l FROM documents)
+        |SELECT ROUND(l[1], 2) AS q25, TRUE AS q25_ok,
+        |       ROUND(l[2], 2) AS q50, TRUE AS q50_ok,
+        |       ROUND(l[3], 2) AS q75, TRUE AS q75_ok,
+        |       ROUND(l[4], 2) AS q95, TRUE AS q95_ok,
+        |       ROUND(l[5], 2) AS q99, TRUE AS q99_ok
+        |FROM q""".stripMargin,
+    "d_minhash" ->
+      s"""WITH $NearDupCorpusSql,
+         |g AS (SELECT id,
+         |  list_distinct(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         |    ELSE list_transform(range(1, len(w) - 3),
+         |      i -> array_to_string(w[i:i+4], ' ')) END) AS grams
+         |  FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+         |        FROM corpus)),
+         |j AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |    / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+         |  FROM g a, g b WHERE a.id < b.id)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d_simhash" ->
+      s"""WITH $NearDupCorpusSql,
+         |corpus2 AS (
+         |  SELECT id, text FROM corpus
+         |  UNION ALL
+         |  SELECT CAST(doc_id + 2000000 AS VARCHAR),
+         |         regexp_replace(text, ' ', '  ', 'g') FROM documents),
+         |c AS (SELECT id,
+         |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM corpus2)
+         |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS INTEGER) AS hamming
+         |FROM c a, c b WHERE a.id < b.id AND a.fp = b.fp
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d_embed" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings WHERE vec_id < 200),
+        |c AS (SELECT CAST(vec_id AS VARCHAR) AS id, v FROM base
+        |      UNION ALL
+        |      SELECT CAST(vec_id + 1000000 AS VARCHAR),
+        |             list_transform(v, x -> x * 2.0) FROM base),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |  ROUND(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        |  FROM c a, c b WHERE a.id < b.id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+    "s_knn_lsh" -> lshOracleSql,
+    "m_media" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  CAST(16 + doc_id % 64 AS INTEGER) AS width,
+        |  CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 41 END AS INTEGER)
+        |    AS byte_len
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
+
+  /** The near-dup corpus (docs + suffixed variants) as a SQL CTE —
+    * kept textually identical across the oracles that rebuild it. */
+  private val NearDupCorpusSql: String =
+    """corpus AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id + 1000000 AS VARCHAR),
+      |         text || ' graft variant suffix' FROM documents)""".stripMargin
+
+  /**
+   * The s_knn_lsh oracle reproduces the ENTIRE LSH algorithm in SQL —
+   * bucketing, multi-probe, scoring, ranking — by embedding the exact
+   * seeded hyperplane matrix as literals (the planes are deterministic
+   * from (dim=64, planes=10, seed=42); see
+   * [[graft.functions.HyperplaneBucket.planesFor]]). Sign decisions are
+   * FP-robust: |v·plane| for Gaussian planes is O(1), never near the
+   * 1e-15 scale where summation order could flip a bucket bit.
+   */
+  private lazy val lshOracleSql: String = {
+    val planes = graft.functions.HyperplaneBucket.planesFor(64, 10, 42L)
+    val matLit = planes.map(_.map(d => java.lang.Double.toString(d))
+      .mkString("[", ", ", "]")).mkString("[", ",\n    ", "]")
+    val bucketExpr = (0 until 10).map { p =>
+      s"(CASE WHEN list_dot_product(v, m[${p + 1}]) >= 0 " +
+        s"THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    val probeList = ("bucket" +: (0 until 10).map(p =>
+      s"xor(bucket, ${1L << p}::BIGINT)")).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+       |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes AS (SELECT $matLit AS m),
+       |cb AS (SELECT id, v, $bucketExpr AS bucket
+       |       FROM e CROSS JOIN planes),
+       |q AS (SELECT id AS query_id, v AS qv,
+       |        UNNEST($probeList) AS bucket
+       |      FROM cb WHERE CAST(id AS BIGINT) < 5),
+       |scored AS (SELECT DISTINCT q.query_id, c.id AS neighbor_id,
+       |    ROUND(list_dot_product(q.qv, c.v)
+       |      / (sqrt(list_dot_product(q.qv, q.qv))
+       |         * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+       |  FROM q JOIN cb c USING (bucket) WHERE q.query_id != c.id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 }

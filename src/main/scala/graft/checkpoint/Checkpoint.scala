@@ -96,18 +96,26 @@ object PartitionedRunner {
     }
 
     val df = table.scan(pending)
+    // Dataset-level checks (uniqueness, drift baseline) evaluate over the
+    // WHOLE table, not the pending subset: a duplicate key can span
+    // partitions validated in different runs, and the drift baseline must
+    // not depend on which partitions happened to share a run. Row-local
+    // checks and verdict rows stay restricted to the pending scan.
     val report = Validator.validateWithDetails(
-      df, suite, table.partitionCols, idCol, dims)
+      df, suite, table.partitionCols, idCol, dims,
+      globalDf = Some(table.scanAll()))
 
     violationsOut.foreach { out =>
       report.violations.write.mode(SaveMode.Append).parquet(out)
     }
 
     // Verdicts are small (one row per partition) — collect for checkpoint.
-    val partCol = table.partitionCols.head
     val verdictRows = report.verdicts.collect()
     val entries = verdictRows.map { r =>
-      val pname = s"$partCol=${r.getAs[Any](partCol)}"
+      // multi-column partition specs render as col1=v1/col2=v2 — the same
+      // form TableProvider.partitions() emits
+      val pname = table.partitionCols
+        .map(c => s"$c=${r.getAs[Any](c)}").mkString("/")
       CheckpointEntry(
         partition = pname,
         snapshot_id = table.snapshotId(pname),

@@ -39,7 +39,7 @@ object DatasetCheck {
   /** The canonical violation schema (north rule; mirrors the reference's
     * `ValidationError` fields, `ValidationError.java:18-22`). */
   val violationCols: Seq[String] =
-    Seq("doc_id", "constraint_id", "observed", "expected")
+    Seq("doc_id", "constraint_id", "observed", "expected", "instance_path")
 }
 
 /**
@@ -70,7 +70,8 @@ final case class UniqueCheck(id: String, col: String, expected: String)
         F.lit(id).as("constraint_id"),
         F.concat(F.lit("count="), F.col("_cnt").cast("string"))
           .as("observed"),
-        F.lit(expected).as("expected"))
+        F.lit(expected).as("expected"),
+        F.lit("/" + col.replace(".", "/")).as("instance_path"))
   }
 }
 
@@ -102,7 +103,8 @@ final case class RefIntegrityCheck(
         F.col("doc_id"),
         F.lit(id).as("constraint_id"),
         F.coalesce(F.col("_fk"), F.lit("null")).as("observed"),
-        F.lit(expected).as("expected"))
+        F.lit(expected).as("expected"),
+        F.lit("/" + col.replace(".", "/")).as("instance_path"))
 
   override def violationCountsByPartition(
       df: DataFrame, idCol: String, partitionCols: Seq[String],
@@ -141,7 +143,8 @@ final case class DriftCheck(
         F.lit(id).as("constraint_id"),
         F.concat(F.lit(metric + "="), F.round(F.col("metric"), 6)
           .cast("string")).as("observed"),
-        F.lit(expected).as("expected"))
+        F.lit(expected).as("expected"),
+        F.lit("/" + col.replace(".", "/")).as("instance_path"))
 
   override def violationCountsByPartition(
       df: DataFrame, idCol: String, partitionCols: Seq[String],

@@ -20,7 +20,11 @@ final case class CompiledRowCheck(
     id: String,
     pred: Column,
     observed: Column,
-    expected: String)
+    expected: String,
+    /** JSON-Pointer-ish instance path ("/col/sub", plus the first
+      * failing element index for array-scoped checks) — the analogue of
+      * the reference's `instanceLocation` (ValidationError.java:18-22). */
+    instancePath: Column)
 
 /**
  * The compile-once artifact — analogue of the reference's immutable,
@@ -66,10 +70,11 @@ object ConstraintCompiler {
 
   def compile(suite: ConstraintSuite,
       registry: ConstraintRegistry = ConstraintRegistry.empty): CompiledSuite = {
-    val resolved = resolveRefs(suite, registry)
+    val resolved = resolveUnevaluated(resolveRefs(suite, registry))
     val (rowCs, dsCs) = resolved.constraints.partition(isRowLocal)
     val rowChecks = rowCs.map(c => CompiledRowCheck(
-      c.id, lowerPred(c, None), observedOf(c), expectedOf(c)))
+      c.id, lowerPred(c, None), observedOf(c), expectedOf(c),
+      instancePathOf(c)))
     val datasetChecks = dsCs.map(lowerDataset)
     CompiledSuite(resolved.id, rowChecks, datasetChecks, hashOf(resolved))
   }
@@ -77,21 +82,59 @@ object ConstraintCompiler {
   // ------------------------------------------------------------------
   // $ref resolution with cycle detection (BlazeWrapper.java:253-281;
   // cycle evidence: infinite-loop-detection.json, Draft2020Runner.java:80)
+  //
+  // Ref name forms (CustomResolverTest.java:53-234 — fragments, anchors,
+  // nested refs):
+  //   "suite"       — whole registered suite, inlined as a conjunction
+  //   "suite#cid"   — the constraint with id `cid` inside that suite
+  //                   (covers both `#/$defs/x` location addressing and
+  //                   `$anchor` name addressing: constraint ids ARE the
+  //                   anchors of this DSL)
+  //   "#cid"        — fragment within the suite being compiled
+  // `$dynamicRef`/`$recursiveRef` are a DOCUMENTED SKIP: the DSL has no
+  // dynamic scope — every ref resolves statically at compile time, so a
+  // dynamic-anchor override chain cannot be expressed (reference:
+  // Draft2020Runner.java:62, Draft2019Runner.java:93; skip-list
+  // precedent: Draft2020Runner.java:196-201).
   // ------------------------------------------------------------------
 
   private def resolveRefs(
       suite: ConstraintSuite, reg: ConstraintRegistry): ConstraintSuite = {
+
+    def findFragment(root: ConstraintSuite, cid: String): Option[Constraint] = {
+      var found: Option[Constraint] = None
+      root.constraints.foreach(Constraint.walk(_) { c =>
+        if (found.isEmpty && c.id == cid) found = Some(c)
+      })
+      found
+    }
+
+    def resolveTarget(name: String): Seq[Constraint] = {
+      val (suiteName, frag) = name.indexOf('#') match {
+        case -1 => (name, None)
+        case i  => (name.take(i), Some(name.drop(i + 1)))
+      }
+      val target =
+        if (suiteName.isEmpty) suite // "#cid": self-fragment
+        else reg.resolve(suiteName).getOrElse(throw new CompileException(
+          s"Schema compilation failed: unresolved ref '$name'"))
+      frag match {
+        case None => target.constraints
+        case Some(cid) =>
+          Seq(findFragment(target, cid).getOrElse(throw new CompileException(
+            s"Schema compilation failed: unresolved fragment '#$cid' " +
+              s"in '${target.id}' (ref '$name')")))
+      }
+    }
 
     def go(c: Constraint, visiting: Set[String]): Constraint = c match {
       case Ref(id, name) =>
         if (visiting.contains(name))
           throw new CompileException(
             s"Schema compilation failed: cyclic ref '$name'")
-        val target = reg.resolve(name).getOrElse(throw new CompileException(
-          s"Schema compilation failed: unresolved ref '$name'"))
-        // A referenced suite inlines as the conjunction of its constraints,
-        // re-rooted under the Ref's own id.
-        AllOf(id, target.constraints.map(go(_, visiting + name)))
+        // A referenced suite/fragment inlines as the conjunction of its
+        // constraints, re-rooted under the Ref's own id.
+        AllOf(id, resolveTarget(name).map(go(_, visiting + name)))
       case AllOf(id, cs)   => AllOf(id, cs.map(go(_, visiting)))
       case AnyOf(id, cs)   => AnyOf(id, cs.map(go(_, visiting)))
       case OneOf(id, cs)   => OneOf(id, cs.map(go(_, visiting)))
@@ -106,10 +149,99 @@ object ConstraintCompiler {
         ContainsCount(id, col, go(e, visiting), mn, mx)
       case PrefixItems(id, col, es) =>
         PrefixItems(id, col, es.map(go(_, visiting)))
+      case PropertyValues(id, col, k, e) =>
+        PropertyValues(id, col, k, go(e, visiting))
+      case PatternValues(id, col, p, e) =>
+        PatternValues(id, col, p, go(e, visiting))
+      case UnevaluatedItems(id, col, e) =>
+        UnevaluatedItems(id, col, go(e, visiting))
+      case UnevaluatedProperties(id, col, e, ks, ps) =>
+        UnevaluatedProperties(id, col, go(e, visiting), ks, ps)
       case other => other
     }
     ConstraintSuite(suite.id,
       suite.constraints.map(go(_, Set(suite.id))))
+  }
+
+  // ------------------------------------------------------------------
+  // unevaluatedItems / unevaluatedProperties: compile-time coverage
+  // analysis over the static DSL tree (Draft2020Runner.java:57-58).
+  // AllOf is transparent (its branches always apply); anyOf/oneOf/ifThen
+  // branches and `contains` matches do NOT contribute coverage — the
+  // conservative static approximation (cf. reference skip list,
+  // Draft2020Runner.java:196-201).
+  // ------------------------------------------------------------------
+
+  private def resolveUnevaluated(suite: ConstraintSuite): ConstraintSuite = {
+    def flat(cs: Seq[Constraint]): Seq[Constraint] = cs.flatMap {
+      case AllOf(_, inner) => flat(inner)
+      case c               => Seq(c)
+    }
+    val ctx = flat(suite.constraints)
+
+    /** Covered element positions of an array column: None = everything
+      * covered, Some(p) = positions [0, p) covered. */
+    def itemsCoverage(col: String): Option[Int] = {
+      val full = ctx.exists {
+        case EachElement(_, c, _) => c == col
+        case _                    => false
+      }
+      if (full) return None
+      val prefix = ctx.collect {
+        case PrefixItems(_, c, es) if c == col => es.size
+      }.maxOption.getOrElse(0)
+      val tailFrom = ctx.collect {
+        case EachElementFrom(_, c, s, _) if c == col => s
+      }.minOption
+      tailFrom match {
+        case Some(s) if s <= prefix => None // prefix + tail cover all
+        case _                      => Some(prefix)
+      }
+    }
+
+    /** (fullyCovered, coveredKeys, coveredPatterns) for a map column.
+      * KeysIn plays `additionalProperties`: it evaluates every key. */
+    def propsCoverage(col: String): (Boolean, Seq[String], Seq[String]) = {
+      val full = ctx.exists {
+        case KeysIn(_, c, _) => c == col
+        case _               => false
+      }
+      val keys = ctx.collect {
+        case PropertyValues(_, c, k, _) if c == col => k
+      }
+      val pats = ctx.collect {
+        case PatternValues(_, c, p, _) if c == col => p
+      }
+      (full, keys, pats)
+    }
+
+    def rw(c: Constraint): Constraint = c match {
+      case UnevaluatedItems(id, col, elem) =>
+        itemsCoverage(col) match {
+          case None    => BoolSchema(id, true) // everything evaluated
+          case Some(p) => EachElementFrom(id, col, p, rw(elem))
+        }
+      case UnevaluatedProperties(id, col, elem, _, _) =>
+        val (full, ks, ps) = propsCoverage(col)
+        if (full) BoolSchema(id, true)
+        else UnevaluatedProperties(id, col, rw(elem), ks, ps)
+      case AllOf(id, cs)  => AllOf(id, cs.map(rw))
+      case AnyOf(id, cs)  => AnyOf(id, cs.map(rw))
+      case OneOf(id, cs)  => OneOf(id, cs.map(rw))
+      case Not(id, c0)    => Not(id, rw(c0))
+      case IfThen(id, i, t, e) => IfThen(id, rw(i), rw(t), e.map(rw))
+      case EachElement(id, col, e)         => EachElement(id, col, rw(e))
+      case EachElementFrom(id, col, st, e) =>
+        EachElementFrom(id, col, st, rw(e))
+      case EachKey(id, col, e) => EachKey(id, col, rw(e))
+      case ContainsCount(id, col, e, mn, mx) =>
+        ContainsCount(id, col, rw(e), mn, mx)
+      case PrefixItems(id, col, es) => PrefixItems(id, col, es.map(rw))
+      case PropertyValues(id, col, k, e) => PropertyValues(id, col, k, rw(e))
+      case PatternValues(id, col, p, e)  => PatternValues(id, col, p, rw(e))
+      case other => other
+    }
+    ConstraintSuite(suite.id, suite.constraints.map(rw))
   }
 
   private def isRowLocal(c: Constraint): Boolean = c match {
@@ -252,6 +384,40 @@ object ConstraintCompiler {
       val v = res(col, scope)
       nullPasses(v, F.forall(F.map_keys(v), k => lowerPred(elem, Some(k))))
 
+    case PropertyValues(_, col, key, elem) =>
+      val v = res(col, scope)
+      // try_element_at: null (→ pass, presence is not this keyword's
+      // job) instead of ANSI's missing-key error
+      nullPasses(v,
+        F.coalesce(lowerPred(elem, Some(F.try_element_at(v, F.lit(key)))),
+          F.lit(true)))
+
+    case PatternValues(_, col, pat, elem) =>
+      // SURVEY §2.B lowering: value subschema over regex-matched keys
+      val v = res(col, scope)
+      nullPasses(v, F.forall(
+        F.map_values(F.map_filter(v, (k, _) => k.rlike(pat))),
+        x => lowerPred(elem, Some(x))))
+
+    case UnevaluatedProperties(_, col, elem, ks, ps) =>
+      val v = res(col, scope)
+      val uncovered = (k: Column) => {
+        val inKeys =
+          if (ks.isEmpty) F.lit(false) else k.isin(ks: _*)
+        val inPats = ps.map(p => k.rlike(p))
+          .reduceOption(_ || _).getOrElse(F.lit(false))
+        !(inKeys || inPats)
+      }
+      nullPasses(v, F.forall(
+        F.map_values(F.map_filter(v, (k, _) => uncovered(k))),
+        x => lowerPred(elem, Some(x))))
+
+    case UnevaluatedItems(_, _, _) =>
+      // rewritten to EachElementFrom/BoolSchema by resolveUnevaluated
+      throw new CompileException(
+        "unevaluatedItems survived the coverage pass — compile via " +
+          "ConstraintCompiler.compile, not lowerPred directly")
+
     case TypeIs(_, col, tpe) =>
       val v = res(col, scope)
       val s = v.cast("string")
@@ -345,6 +511,11 @@ object ConstraintCompiler {
       case KeysIn(_, col, _)          => if (col != "$") buf += col
       case KeyCountBounds(_, col, _, _) => if (col != "$") buf += col
       case EachKey(_, col, _)         => if (col != "$") buf += col
+      case PropertyValues(_, col, _, _) => if (col != "$") buf += col
+      case PatternValues(_, col, _, _)  => if (col != "$") buf += col
+      case UnevaluatedItems(_, col, _)  => if (col != "$") buf += col
+      case UnevaluatedProperties(_, col, _, _, _) =>
+        if (col != "$") buf += col
       case TypeIs(_, col, _)          => if (col != "$") buf += col
       case SizeConsistency(_, i, a)   => buf += i; buf += a
       case _                          => ()
@@ -377,6 +548,15 @@ object ConstraintCompiler {
         F.size(F.map_keys(F.col(col))).cast("string"))
     case EachKey(_, col, _) =>
       F.to_json(F.map_keys(F.col(col)))
+    case PropertyValues(_, col, k, _) =>
+      F.coalesce(F.try_element_at(F.col(col), F.lit(k)).cast("string"),
+        F.lit("null"))
+    case PatternValues(_, col, _, _) =>
+      F.to_json(F.col(col))
+    case UnevaluatedItems(_, col, _) =>
+      F.concat(F.lit("size="), F.size(F.col(col)).cast("string"))
+    case UnevaluatedProperties(_, col, _, _, _) =>
+      F.to_json(F.col(col))
     case SizeConsistency(_, i, a) =>
       F.concat(F.col(i).cast("string"), F.lit("!=size:"),
         F.size(F.col(a)).cast("string"))
@@ -392,6 +572,45 @@ object ConstraintCompiler {
         F.coalesce(F.col(cols.head).cast("string"), F.lit("null"))
       else
         F.to_json(F.struct(cols.map(F.col): _*))
+  }
+
+  /** JSON-Pointer-ish instance path into the row — the analogue of the
+    * reference's `ValidationError.instanceLocation`
+    * (ValidationError.java:18-22). Nested field paths render as
+    * "/a/b/c"; array-scoped checks (items family) append the FIRST
+    * failing element's index. Evaluated only on the detail path. */
+  private[compile] def instancePathOf(c: Constraint): Column = {
+    def slash(col: String): String = "/" + col.replace(".", "/")
+    c match {
+      case EachElement(_, col, elem) if col != "$" =>
+        val v = F.col(col)
+        val pos = F.coalesce(F.array_position(
+          F.transform(v, x =>
+            F.coalesce(lowerPred(elem, Some(x)), F.lit(true))),
+          F.lit(false)), F.lit(0L))
+        F.when(pos > 0,
+          F.concat(F.lit(slash(col) + "/"), (pos - 1).cast("string")))
+          .otherwise(F.lit(slash(col)))
+      case EachElementFrom(_, col, start, elem) if col != "$" =>
+        val v = F.col(col)
+        val rest = F.slice(v, F.lit(start + 1),
+          F.greatest(F.size(v) - start, F.lit(0)))
+        val pos = F.coalesce(F.array_position(
+          F.transform(rest, x =>
+            F.coalesce(lowerPred(elem, Some(x)), F.lit(true))),
+          F.lit(false)), F.lit(0L))
+        F.when(pos > 0,
+          F.concat(F.lit(slash(col) + "/"),
+            (pos + (start - 1)).cast("string")))
+          .otherwise(F.lit(slash(col)))
+      case SizeConsistency(_, i, _) => F.lit(slash(i))
+      case _: ExprIs                => F.lit("/")
+      case other => refCols(other) match {
+        case Seq()    => F.lit("/")
+        case Seq(one) => F.lit(slash(one))
+        case many     => F.lit(many.map(slash).mkString(","))
+      }
+    }
   }
 
   /** Human-readable `expected` text (plays the reference's error-message
@@ -428,6 +647,14 @@ object ConstraintCompiler {
       s"key count of $col in [${mn.getOrElse(0)}, " +
         s"${mx.map(_.toString).getOrElse("∞")}]"
     case EachKey(_, col, e) => s"every key of $col: ${expectedOf(e)}"
+    case PropertyValues(_, col, k, e) =>
+      s"value of $col['$k']: ${expectedOf(e)}"
+    case PatternValues(_, col, p, e) =>
+      s"values of $col keys matching /$p/: ${expectedOf(e)}"
+    case UnevaluatedItems(_, col, e) =>
+      s"unevaluated elements of $col: ${expectedOf(e)}"
+    case UnevaluatedProperties(_, col, e, _, _) =>
+      s"unevaluated properties of $col: ${expectedOf(e)}"
     case TypeIs(_, col, t)  => s"$col is of type $t"
     case SizeConsistency(_, i, a) => s"$i == size($a)"
     case ExprIs(_, p, _, exp)   => if (exp.nonEmpty) exp else p

@@ -142,6 +142,50 @@ object Constraint {
   final case class EachKey(id: String, col: String, elem: Constraint)
       extends Constraint
 
+  /** `properties` for a map column: the value at `key` (when present)
+    * satisfies the subschema (`elem.col` must be `"$"`). Absent keys
+    * pass — presence is [[KeyCountBounds]]/[[NotNull]]'s job, per
+    * keyword applicability. (Reference: `properties`,
+    * Draft2020Runner.java:98 — struct columns get this statically via
+    * nested paths; this node is the dynamic-map form.) */
+  final case class PropertyValues(
+      id: String, col: String, key: String, elem: Constraint)
+      extends Constraint
+
+  /** `patternProperties` for a map column: values of every key matching
+    * `keyPattern` (unanchored regex) satisfy the subschema
+    * (Draft2020Runner.java:96). Lowered to
+    * `forall(map_values(map_filter(m, (k,_) => k rlike p)), …)`. */
+  final case class PatternValues(
+      id: String, col: String, keyPattern: String, elem: Constraint)
+      extends Constraint
+
+  /** `unevaluatedItems` (Draft2020Runner.java:57): elements NOT covered
+    * by sibling `prefixItems`/`items`(-after-prefix) constraints on the
+    * same column satisfy the subschema. Coverage is computed at COMPILE
+    * time over the static DSL tree (AllOf-transparent; conditional
+    * branches — anyOf/oneOf/ifThen — and `contains` matches do not
+    * contribute coverage, a conservative static approximation of the
+    * annotation-flow semantics; cf. the reference's own skip list,
+    * Draft2020Runner.java:196-201). */
+  final case class UnevaluatedItems(id: String, col: String, elem: Constraint)
+      extends Constraint
+
+  /** `unevaluatedProperties` (Draft2020Runner.java:58): values of map
+    * keys NOT covered by sibling [[PropertyValues]] keys,
+    * [[PatternValues]] patterns, or a [[KeysIn]] allowlist (which
+    * evaluates every key, like `additionalProperties`) satisfy the
+    * subschema. Same compile-time static coverage rules as
+    * [[UnevaluatedItems]]; `propertyNames` ([[EachKey]]) does NOT
+    * contribute coverage, per 2020-12 annotation semantics. The
+    * `coveredKeys`/`coveredPatterns` fields are filled by the compiler's
+    * coverage pass — leave empty when authoring. */
+  final case class UnevaluatedProperties(
+      id: String, col: String, elem: Constraint,
+      coveredKeys: Seq[String] = Nil,
+      coveredPatterns: Seq[String] = Nil)
+      extends Constraint
+
   /** `type` — the value parses as the declared JSON-ish type. For
     * statically typed columns this is enforced by the table schema; the
     * dynamic form checks a STRING column's content (`integer` ⊂
@@ -238,6 +282,10 @@ object Constraint {
       case EachKey(_, _, e)      => walk(e)(f)
       case ContainsCount(_, _, e, _, _) => walk(e)(f)
       case PrefixItems(_, _, es) => es.foreach(walk(_)(f))
+      case PropertyValues(_, _, _, e)  => walk(e)(f)
+      case PatternValues(_, _, _, e)   => walk(e)(f)
+      case UnevaluatedItems(_, _, e)   => walk(e)(f)
+      case UnevaluatedProperties(_, _, e, _, _) => walk(e)(f)
       case _                     => ()
     }
   }

@@ -78,6 +78,21 @@ object ConstraintJson {
         KeyCountBounds(id, str(n, "col"), int(n, "min"), int(n, "max"))
       case "eachKey" =>
         EachKey(id, str(n, "col"), parseConstraint(n.get("elem")))
+      case "propertyValues" =>
+        PropertyValues(id, str(n, "col"), str(n, "key"),
+          parseConstraint(n.get("elem")))
+      case "patternValues" =>
+        PatternValues(id, str(n, "col"), str(n, "keyPattern"),
+          parseConstraint(n.get("elem")))
+      case "unevaluatedItems" =>
+        UnevaluatedItems(id, str(n, "col"), parseConstraint(n.get("elem")))
+      case "unevaluatedProperties" =>
+        UnevaluatedProperties(id, str(n, "col"),
+          parseConstraint(n.get("elem")),
+          Option(n.get("coveredKeys")).map(_ => strArr(n, "coveredKeys"))
+            .getOrElse(Nil),
+          Option(n.get("coveredPatterns"))
+            .map(_ => strArr(n, "coveredPatterns")).getOrElse(Nil))
       case "typeIs" => TypeIs(id, str(n, "col"), str(n, "tpe"))
       case "sizeConsistency" =>
         SizeConsistency(id, str(n, "intCol"), str(n, "arrCol"))
@@ -167,6 +182,22 @@ object ConstraintJson {
         mn.foreach(o.put("min", _)); mx.foreach(o.put("max", _))
       case EachKey(_, col, e) =>
         o.put("kind", "eachKey").put("col", col); o.set("elem", toNode(e))
+      case PropertyValues(_, col, k, e) =>
+        o.put("kind", "propertyValues").put("col", col).put("key", k)
+        o.set("elem", toNode(e))
+      case PatternValues(_, col, p, e) =>
+        o.put("kind", "patternValues").put("col", col).put("keyPattern", p)
+        o.set("elem", toNode(e))
+      case UnevaluatedItems(_, col, e) =>
+        o.put("kind", "unevaluatedItems").put("col", col)
+        o.set("elem", toNode(e))
+      case UnevaluatedProperties(_, col, e, ks, ps) =>
+        o.put("kind", "unevaluatedProperties").put("col", col)
+        o.set[ObjectNode]("elem", toNode(e))
+        if (ks.nonEmpty) { val a = o.putArray("coveredKeys"); ks.foreach(a.add) }
+        if (ps.nonEmpty) {
+          val a = o.putArray("coveredPatterns"); ps.foreach(a.add)
+        }
       case TypeIs(_, col, t) =>
         o.put("kind", "typeIs").put("col", col).put("tpe", t)
       case SizeConsistency(_, ic, ac) =>

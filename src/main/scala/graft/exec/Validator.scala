@@ -6,14 +6,17 @@ import org.apache.spark.sql.{functions => F}
 import graft.compile.CompiledSuite
 
 /** One typed violation row — the engine's `ValidationError`
-  * (`ValidationError.java:6-22`: message/instanceLocation/evaluatePath →
-  * expected/doc_id/constraint_id) with the observed value added per the
+  * (`ValidationError.java:6-22`): `constraint_id` plays `evaluatePath`,
+  * `expected` the message, `instance_path` the `instanceLocation`
+  * (JSON-Pointer-ish path into the row, with the first failing element
+  * index for array-scoped checks), and `observed` is added per the
   * north rule. */
 final case class Violation(
     doc_id: String,
     constraint_id: String,
     observed: String,
-    expected: String)
+    expected: String,
+    instance_path: String)
 
 /** Detail-path result — the engine's `ValidationResult`
   * (`ValidationResult.java:13-26`): a per-partition verdict DataFrame plus
@@ -42,16 +45,24 @@ final case class ValidationReport(verdicts: DataFrame, violations: DataFrame)
 object Validator {
 
   /** Fast boolean path: ONE scan, ONE small shuffle (the per-partition
-    * verdict groupBy). Dataset-level checks contribute only a count. */
+    * verdict groupBy). Dataset-level checks contribute only a count.
+    *
+    * `globalDf`: the frame DATASET-LEVEL checks evaluate over, when it
+    * must be wider than `df` — a resumed/partial run validates only the
+    * pending partitions, but a uniqueness duplicate can span partitions
+    * validated in different runs and a drift baseline must be the whole
+    * table's distribution. Defaults to `df` (single full-table run). */
   def validate(
       df: DataFrame,
       suite: CompiledSuite,
       partitionCols: Seq[String],
       idCol: String = "doc_id",
-      dims: Map[String, DataFrame] = Map.empty): DataFrame = {
+      dims: Map[String, DataFrame] = Map.empty,
+      globalDf: Option[DataFrame] = None): DataFrame = {
     val ok = suite.rowPredicate
     val rowVerdicts = aggVerdict(df, ok, partitionCols)
-    attachDatasetCounts(rowVerdicts, df, suite, idCol, partitionCols, dims)
+    attachDatasetCounts(rowVerdicts, globalDf.getOrElse(df), suite, idCol,
+      partitionCols, dims)
   }
 
   /** Detail path: violation rows from every source, union'd, plus
@@ -63,7 +74,8 @@ object Validator {
       suite: CompiledSuite,
       partitionCols: Seq[String],
       idCol: String = "doc_id",
-      dims: Map[String, DataFrame] = Map.empty): ValidationReport = {
+      dims: Map[String, DataFrame] = Map.empty,
+      globalDf: Option[DataFrame] = None): ValidationReport = {
 
     val rowViolations: DataFrame =
       if (suite.rowChecks.isEmpty) emptyViolations(df)
@@ -74,7 +86,8 @@ object Validator {
             c.pred.as("ok"),
             F.coalesce(c.observed.cast("string"), F.lit("null"))
               .as("observed"),
-            F.lit(c.expected).as("expected"))
+            F.lit(c.expected).as("expected"),
+            F.coalesce(c.instancePath, F.lit("/")).as("instance_path"))
         }: _*)
         df.select(
             F.col(idCol).cast("string").as("doc_id"),
@@ -83,14 +96,16 @@ object Validator {
             F.col("doc_id"),
             F.col("_v.constraint_id").as("constraint_id"),
             F.col("_v.observed").as("observed"),
-            F.col("_v.expected").as("expected"))
+            F.col("_v.expected").as("expected"),
+            F.col("_v.instance_path").as("instance_path"))
       }
 
+    val dsDf = globalDf.getOrElse(df)
     val dsViolations = suite.datasetChecks
-      .map(_.violations(df, idCol, partitionCols, dims))
+      .map(_.violations(dsDf, idCol, partitionCols, dims))
     val violations = (rowViolations +: dsViolations).reduce(_ unionAll _)
 
-    val verdicts = validate(df, suite, partitionCols, idCol, dims)
+    val verdicts = validate(df, suite, partitionCols, idCol, dims, globalDf)
     ValidationReport(verdicts, violations)
   }
 

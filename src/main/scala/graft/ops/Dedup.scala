@@ -7,10 +7,12 @@ import org.apache.spark.sql.{functions => F}
  * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
  * SimHash, and n-gram Jaccard verification. All signature computation is
  * pure Catalyst expressions (codegen'd, one scan); candidate generation
- * is a self-equi-join on band keys — the standard "shuffle only
+ * is a grouped same-bucket pairing — the standard "shuffle only
  * signatures, never full texts against full texts" shape that survives
- * 100 TB: the join key space (bands × hash) spreads uniformly, and only
- * same-bucket pairs are ever materialized.
+ * 100 TB: the key space (bands × hash) spreads uniformly, only
+ * same-bucket pairs are ever materialized, and degenerate buckets
+ * (boilerplate-heavy corpora collapse many docs into one band bucket)
+ * are capped — see [[bucketedPairs]].
  */
 object Dedup {
 
@@ -29,6 +31,63 @@ object Dedup {
         key(F.col(textCol)).as("fp"))
       .groupBy("fp")
       .agg(F.count(F.lit(1)).as("n_dups"), F.min("doc_id").as("keep_id"))
+
+  // ------------------------------------------------------------------
+  // Shared capped-bucket pair generation
+  // ------------------------------------------------------------------
+
+  /**
+   * Same-bucket pairs `(id_a, id_b, <payload>_a, <payload>_b)` with
+   * `id_a < id_b`, from rows `(keyCols..., idCol, payloadCols...)`.
+   *
+   * Scale contract (the 100 TB story):
+   *  - buckets with ≤ `maxBucket` members emit ALL pairs — bucket
+   *    members are gathered with `collect_list` bounded by the cap, so
+   *    no aggregation row can blow up;
+   *  - oversized buckets (degenerate bands: empty docs, boilerplate)
+   *    emit STAR pairs — every member against the bucket's min-id
+   *    representative. Output stays linear in bucket size and the pairs
+   *    keep the bucket connected for a downstream
+   *    connected-components/union-find dedup, instead of going
+   *    quadratic in one hot task.
+   *
+   * All four internal steps key on `keyCols`, so the exchanges
+   * co-partition and AQE reuses them.
+   */
+  def bucketedPairs(df: DataFrame, keyCols: Seq[String], idCol: String,
+      payloadCols: Seq[String], maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must be >= 2")
+    val keys = keyCols.map(F.col)
+    val member = F.struct(
+      F.col(idCol).as("_id") +: payloadCols.map(F.col): _*)
+
+    // bucket sizes + representative id, WITHOUT collecting members:
+    // the one aggregate that must stay safe under a degenerate bucket
+    val sizes = df.groupBy(keys: _*).agg(
+      F.count(F.lit(1)).as("_n"), F.min(F.col(idCol)).as("_rep"))
+      .filter(F.col("_n") >= 2)
+    val dfn = df.join(sizes, keyCols)
+
+    // small buckets: all pairs via bounded collect_list + double explode
+    val small = dfn.filter(F.col("_n") <= maxBucket)
+      .groupBy(keys: _*).agg(F.collect_list(member).as("_m"))
+      .select(F.explode(F.col("_m")).as("_a"), F.col("_m"))
+      .select(F.col("_a"), F.explode(F.col("_m")).as("_b"))
+      .filter(F.col("_a._id") < F.col("_b._id"))
+
+    // oversized buckets: star pairs against the representative
+    val bigRows = dfn.filter(F.col("_n") > maxBucket)
+    val reps = bigRows.filter(F.col(idCol) === F.col("_rep"))
+      .groupBy(keys: _*).agg(F.first(member).as("_a"))
+    val big = bigRows.filter(F.col(idCol) =!= F.col("_rep"))
+      .join(reps, keyCols)
+      .select(F.col("_a"), member.as("_b"))
+
+    small.unionByName(big).select(
+      F.col("_a._id").as("id_a") +: F.col("_b._id").as("id_b") +:
+        payloadCols.flatMap(p => Seq(
+          F.col(s"_a.$p").as(s"${p}_a"), F.col(s"_b.$p").as(s"${p}_b"))): _*)
+  }
 
   // ------------------------------------------------------------------
   // MinHash + LSH
@@ -51,21 +110,24 @@ object Dedup {
       TextAnalysis.shingleHashes(text, shingleK), numHashes, seed)
 
   /** LSH banding: candidate pairs whose signatures collide in ≥1 of
-    * `bands` bands (rowsPerBand = numHashes/bands). Shuffle carries
-    * (bandIdx, bandHash, id) — narrow rows — and the self-join only
-    * touches same-bucket ids. Estimated Jaccard = fraction of equal
-    * minhash components, computed on the candidate pairs only. */
+    * `bands` bands (rowsPerBand = numHashes/bands). The shuffle carries
+    * (bandIdx, bandHash, id, sig) — narrow rows — through the capped
+    * bucket pairing; estimated Jaccard = fraction of equal minhash
+    * components, computed on the candidate pairs only.
+    *
+    * Recall lever: P(candidate) = 1-(1-J^r)^b. The defaults (64 hashes,
+    * 16 bands × 4 rows) knee near J≈0.6; `bands = 32` (2 rows/band)
+    * pushes recall at J ≥ 0.8 to 1 - 4e-15 — effectively deterministic,
+    * which oracle-checked pipelines use. */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16,
-      minJaccard: Double = 0.7): DataFrame = {
+      minJaccard: Double = 0.7, maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = df.select(
-        F.col(idCol).cast("string").as("doc_id"),
-        minhashSignature(F.col(textCol), numHashes).as("sig"))
-      // signatures reused by banding AND the pair-verify join
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      F.col(idCol).cast("string").as("doc_id"),
+      minhashSignature(F.col(textCol), numHashes).as("sig"))
 
     val banded = sigs.select(
       F.col("doc_id"), F.col("sig"),
@@ -78,14 +140,8 @@ object Dedup {
       .select(F.col("doc_id"), F.col("sig"),
         F.col("bk.band").as("band"), F.col("bk.bhash").as("bhash"))
 
-    val l = banded.select(
-      F.col("band"), F.col("bhash"),
-      F.col("doc_id").as("id_a"), F.col("sig").as("sig_a"))
-    val r = banded.select(
-      F.col("band"), F.col("bhash"),
-      F.col("doc_id").as("id_b"), F.col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bhash"))
-      .filter(F.col("id_a") < F.col("id_b"))
+    bucketedPairs(banded, Seq("band", "bhash"), "doc_id", Seq("sig"),
+        maxBucket)
       .select(
         F.col("id_a"), F.col("id_b"),
         // count of EQUAL components (size() alone would count the whole
@@ -102,10 +158,6 @@ object Dedup {
   // SimHash
   // ------------------------------------------------------------------
 
-  /** 64-bit SimHash over word hashes: bit i of the result is 1 iff the
-    * weighted sum of bit i across all word hashes is positive. Built as
-    * one `aggregate` over the word array accumulating 64 counters —
-    * stays columnar. */
   /** 64-bit SimHash via the custom codegen expression
     * [[graft.functions.SimHash64]] — the higher-order-function
     * formulation (aggregate over words × zip_with over 64 counters) runs
@@ -116,11 +168,12 @@ object Dedup {
     graft.functions.SimHash64(F.split(F.trim(F.lower(text)), "\\s+"))
 
   /** SimHash near-dup candidates: band the 64-bit hash into 4×16-bit
-    * chunks (any pair within Hamming distance 3 shares ≥1 chunk), join
-    * on chunk equality, verify with `bit_count(xor) <= maxHamming`. */
+    * chunks (any pair within Hamming distance 3 shares ≥1 chunk), pair
+    * same-chunk docs through the capped bucket path, verify with
+    * `bit_count(xor) <= maxHamming`. */
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val hashed = df.select(
       F.col(idCol).cast("string").as("doc_id"),
       simhash64(F.col(textCol)).as("sh"))
@@ -133,12 +186,8 @@ object Dedup {
       }: _*)).as("bk"))
       .select(F.col("doc_id"), F.col("sh"),
         F.col("bk.band").as("band"), F.col("bk.chunk").as("chunk"))
-    val l = banded.select(F.col("band"), F.col("chunk"),
-      F.col("doc_id").as("id_a"), F.col("sh").as("sh_a"))
-    val r = banded.select(F.col("band"), F.col("chunk"),
-      F.col("doc_id").as("id_b"), F.col("sh").as("sh_b"))
-    l.join(r, Seq("band", "chunk"))
-      .filter(F.col("id_a") < F.col("id_b"))
+    bucketedPairs(banded, Seq("band", "chunk"), "doc_id", Seq("sh"),
+        maxBucket)
       .select(F.col("id_a"), F.col("id_b"),
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
           .as("hamming"))
@@ -178,11 +227,12 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** Near-duplicates by embedding cosine ≥ threshold, using the
-    * Similarity module's LSH bucketing to avoid the full cross product. */
+    * Similarity module's LSH bucketing to avoid the full cross product.
+    * `dim` is the embedding dimension (schema knowledge, not sniffed). */
   def embeddingNearDup(
-      df: DataFrame, idCol: String, vecCol: String,
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
       minCosine: Double = 0.95, planes: Int = 12,
       seed: Long = 42L): DataFrame =
-    Similarity.lshSelfPairs(df, idCol, vecCol, planes, seed)
+    Similarity.lshSelfPairs(df, idCol, vecCol, dim, planes, seed)
       .filter(F.col("cosine") >= minCosine)
 }

@@ -35,9 +35,31 @@ trait MediaDecoder extends Serializable {
   def decode(row: MediaRow): MediaFeatures
 }
 
+/**
+ * The shipped decoder: REAL pure-JVM header decode for images (PNG /
+ * JPEG / GIF dimensions via [[ImageHeaders]] — actual byte parsing, no
+ * stub), stub-derived features for audio/video (those genuinely need a
+ * codec library this container doesn't have; only this branch changes
+ * when one is available). Unparseable image payloads yield width/height
+ * -1 — a violation-shaped outcome, never a task failure.
+ */
+final class HeaderDecoder extends MediaDecoder {
+  private val stub = new StubDecoder
+  override def decode(r: MediaRow): MediaFeatures =
+    if (r.media_type == "image") {
+      val h = r.payload.foldLeft(1125899906842597L)((a, b) => 31 * a + b)
+      ImageHeaders.parse(r.payload) match {
+        case Some(d) => MediaFeatures(r.doc_id, r.media_type,
+          r.payload.length, d.width, d.height, 0L, 1, h)
+        case None => MediaFeatures(r.doc_id, r.media_type,
+          r.payload.length, -1, -1, 0L, 1, h)
+      }
+    } else stub.decode(r)
+}
+
 /** STUB: derives deterministic pseudo-features from the payload bytes.
-  * Replace with a real codec (JavaCV/TwelveMonkeys/ffmpeg) in production;
-  * only this class changes — the pipeline plumbing stays. */
+  * Still used for audio/video (no codec libs in this container); images
+  * go through [[HeaderDecoder]]'s real byte parsing. */
 final class StubDecoder extends MediaDecoder {
   override def decode(r: MediaRow): MediaFeatures = {
     val h = r.payload.foldLeft(1125899906842597L)((a, b) => 31 * a + b)
@@ -66,7 +88,7 @@ object Multimodal {
     * memory (`spark.sql.files.maxPartitionBytes` governs the scan side). */
   def extractFeatures(
       media: Dataset[MediaRow],
-      decoder: MediaDecoder = new StubDecoder): Dataset[MediaFeatures] =
+      decoder: MediaDecoder = new HeaderDecoder): Dataset[MediaFeatures] =
     media.mapPartitions { it =>
       // per-partition decoder init happens here (once per task)
       it.map(decoder.decode)
@@ -81,10 +103,21 @@ object Multimodal {
     import spark.implicits._
     spark.range(0L, n, 1L, numPartitions).map { i =>
       val kind = Seq("image", "audio", "video")((i % 3).toInt)
-      val len = 32 + (i % 256).toInt
-      val payload = Array.tabulate[Byte](len)(j => ((i * 31 + j) % 127).toByte)
+      val payload =
+        if (kind == "image") {
+          // real PNG/JPEG header bytes with doc-derived dimensions, so
+          // the HeaderDecoder's actual parsers run on every image row
+          val w = 16 + (i % 64).toInt
+          val h = 16 + ((i * 7) % 64).toInt
+          if (i % 2 == 0) ImageHeaders.buildPng(w, h)
+          else ImageHeaders.buildJpeg(w, h)
+        } else {
+          val len = 32 + (i % 256).toInt
+          Array.tabulate[Byte](len)(j => ((i * 31 + j) % 127).toByte)
+        }
       MediaRow(f"media-$i%08d", kind, payload,
-        Map("codec" -> (if (kind == "image") "png" else "opus")))
+        Map("codec" -> (if (kind == "image")
+          (if (i % 2 == 0) "png" else "jpeg") else "opus")))
     }
   }
 

@@ -3,8 +3,10 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
+import graft.functions.{CosineSim, HyperplaneBucket}
+
 /**
- * Similarity search over an embedding column (`array<float>`).
+ * Similarity search over an embedding column (`array<float|double>`).
  *
  * Two paths, same contract:
  *  - [[cosineTopK]] — brute-force: broadcast the (small) query set
@@ -15,21 +17,18 @@ import org.apache.spark.sql.{functions => F}
  *    carries (bucket, vector) once, and recall is tunable via
  *    planes/probes.
  *
- * All arithmetic is `zip_with`/`aggregate` higher-order expressions —
- * vectorized by codegen, no UDFs.
+ * All vector arithmetic runs in the custom codegen expressions
+ * [[graft.functions.CosineSim]] / [[graft.functions.HyperplaneBucket]]
+ * (one flat loop each) — the higher-order-function formulation
+ * (`aggregate`×`zip_with`) evaluates its lambdas interpreted, which is
+ * the dominant cost at 10^9 × O(planes + candidates) evaluations.
  */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns (expression). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = F.aggregate(F.zip_with(a, b, (x, y) => x * y),
-      F.lit(0.0), (acc, x) => acc + x)
-    val na = F.sqrt(F.aggregate(F.transform(a, x => x * x),
-      F.lit(0.0), (acc, x) => acc + x))
-    val nb = F.sqrt(F.aggregate(F.transform(b, x => x * x),
-      F.lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  /** Cosine similarity between two float/double-array columns —
+    * codegen'd, one pass, value-identical to
+    * `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` in double. */
+  def cosine(a: Column, b: Column): Column = CosineSim(a, b)
 
   /** Brute-force top-k cosine neighbors of each query vector.
     * `queries` MUST be small (it is broadcast); corpus side streams. */
@@ -55,29 +54,16 @@ object Similarity {
       .filter(F.col("rank") <= k)
   }
 
-  /** Deterministic random hyperplanes (driver-side, seeded) as literal
-    * nested arrays — broadcast with the plan, no data pass needed. */
-  private def hyperplanes(
-      dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
-  }
-
-  /** Sign-bit LSH signature of a vector: bit p = sign(v · plane_p),
-    * packed into a long bucket key. */
-  def lshBucket(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
-    val hp = hyperplanes(dim, planes, seed)
-    val bits = hp.zipWithIndex.map { case (plane, p) =>
-      val planeLit = F.array(plane.map(F.lit): _*)
-      val dot = F.aggregate(F.zip_with(vec, planeLit, (x, w) => x * w),
-        F.lit(0.0), (acc, x) => acc + x)
-      F.when(dot >= 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Sign-bit LSH bucket of a vector: bit p = sign(v · plane_p), packed
+    * into a long key — all planes in one codegen pass. The plane matrix
+    * is deterministic from (dim, planes, seed); see
+    * [[graft.functions.HyperplaneBucket.planesFor]] for embedding the
+    * identical literals in an independent oracle. */
+  def lshBucket(vec: Column, dim: Int, planes: Int, seed: Long): Column =
+    HyperplaneBucket(vec, dim, planes, seed)
 
   /** Approximate top-k: score only same-bucket (query, corpus) pairs.
-    * Multi-probe: each vector also lands in the buckets at Hamming
+    * Multi-probe: each QUERY also probes the buckets at Hamming
     * distance 1 (flip each bit), trading `planes+1`× signature rows for
     * recall — the standard probe/recall lever. */
   def lshTopK(
@@ -112,31 +98,21 @@ object Similarity {
   }
 
   /** All same-bucket pairs of one table with their cosine — the
-    * embedding near-dup primitive (no top-k, pair-oriented). */
+    * embedding near-dup primitive (no top-k, pair-oriented). `dim` is a
+    * parameter (the embedding dimension is schema/contract knowledge,
+    * never sniffed from data). Pair generation goes through the shared
+    * capped-bucket path (see [[Dedup.bucketedPairs]]): one shuffle of
+    * (bucket, id, vec), never an uncapped self-join. */
   def lshSelfPairs(
-      df: DataFrame, idCol: String, vecCol: String,
-      planes: Int, seed: Long): DataFrame = {
-    val first = df.select(F.col(vecCol)).limit(1).collect()
-    if (first.isEmpty) {
-      return df.sparkSession.emptyDataFrame
-        .withColumn("id_a", F.lit(""))
-        .withColumn("id_b", F.lit(""))
-        .withColumn("cosine", F.lit(0.0))
-        .limit(0)
-    }
-    val dim = first(0).getSeq[Any](0).size
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      planes: Int, seed: Long, maxBucket: Int = 1024): DataFrame = {
     val sig = df.select(
       F.col(idCol).cast("string").as("doc_id"),
       F.col(vecCol).as("v"),
       lshBucket(F.col(vecCol), dim, planes, seed).as("bucket"))
-    val l = sig.select(F.col("bucket"), F.col("doc_id").as("id_a"),
-      F.col("v").as("va"))
-    val r = sig.select(F.col("bucket"), F.col("doc_id").as("id_b"),
-      F.col("v").as("vb"))
-    l.join(r, Seq("bucket"))
-      .filter(F.col("id_a") < F.col("id_b"))
+    Dedup.bucketedPairs(sig, Seq("bucket"), "doc_id", Seq("v"), maxBucket)
       .select(F.col("id_a"), F.col("id_b"),
-        F.round(cosine(F.col("va"), F.col("vb")), 6).as("cosine"))
+        F.round(cosine(F.col("v_a"), F.col("v_b")), 6).as("cosine"))
       .groupBy("id_a", "id_b").agg(F.first("cosine").as("cosine"))
   }
 }

@@ -21,14 +21,19 @@ object StreamValidator {
     * filter → explode), appended continuously. */
   def violations(
       stream: DataFrame, suite: CompiledSuite, idCol: String): DataFrame = {
-    require(suite.datasetChecks.isEmpty ||
-      suite.rowChecks.nonEmpty, "streaming validates row-local checks")
+    // dataset-level checks would be SILENTLY dropped here — reject them
+    // outright; the caller must strip them deliberately (batch path owns
+    // unique/RI/drift semantics)
+    require(suite.datasetChecks.isEmpty,
+      "streaming path validates row-local checks only; dataset-level " +
+        "checks (unique/RI/drift) belong to the batch path")
     val structs = F.array(suite.rowChecks.map { c =>
       F.struct(
         F.lit(c.id).as("constraint_id"),
         c.pred.as("ok"),
         F.coalesce(c.observed.cast("string"), F.lit("null")).as("observed"),
-        F.lit(c.expected).as("expected"))
+        F.lit(c.expected).as("expected"),
+        F.coalesce(c.instancePath, F.lit("/")).as("instance_path"))
     }: _*)
     stream.select(
         F.col(idCol).cast("string").as("doc_id"),
@@ -37,7 +42,8 @@ object StreamValidator {
         F.col("doc_id"),
         F.col("_v.constraint_id").as("constraint_id"),
         F.col("_v.observed").as("observed"),
-        F.col("_v.expected").as("expected"))
+        F.col("_v.expected").as("expected"),
+        F.col("_v.instance_path").as("instance_path"))
   }
 
   /** Windowed verdicts: per (event-time window × partition) validity,
@@ -52,15 +58,19 @@ object StreamValidator {
       windowDuration: String,
       watermarkDelay: String,
       partitionCols: Seq[String]): DataFrame = {
-    val ok = suite.rowPredicate
+    // predicate evaluated ONCE into a projected column (same reasoning
+    // as Validator.aggVerdict: no duplicated predicate tree under two
+    // aggregate expressions)
+    val okc = F.col("_graft_ok")
     val keys = F.window(F.col(timeCol), windowDuration) +:
       partitionCols.map(F.col)
     stream
+      .withColumn("_graft_ok", suite.rowPredicate)
       .withWatermark(timeCol, watermarkDelay)
       .groupBy(keys: _*)
       .agg(
         F.count(F.lit(1)).as("n_rows"),
-        F.sum(F.when(ok, 0L).otherwise(1L)).as("n_bad_rows"),
-        F.coalesce(F.every(ok), F.lit(true)).as("rows_ok"))
+        F.sum(F.when(okc, 0L).otherwise(1L)).as("n_bad_rows"),
+        F.coalesce(F.every(okc), F.lit(true)).as("rows_ok"))
   }
 }

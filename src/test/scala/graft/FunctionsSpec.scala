@@ -104,7 +104,23 @@ class FunctionsSpec extends SparkSpec {
         graft.functions.MinHashSig(
           graft.functions.ShingleHashes(words, 2), 16, 42L).as("m1"),
         graft.functions.MinHashSig(
-          graft.functions.ShingleHashes(words, 3), 16, 7L).as("m2"))
+          graft.functions.ShingleHashes(words, 3), 16, 7L).as("m2"),
+        graft.functions.DotProduct(
+          F.transform($"arr", x => x.cast("double")),
+          F.transform($"arr", x => x.cast("double") * 2)).as("dp1"),
+        graft.functions.DotProduct(
+          F.transform($"arr", x => x.cast("double")),
+          F.transform($"arr", x => x.cast("double") + 1)).as("dp2"),
+        graft.functions.CosineSim(
+          F.transform($"arr", x => x.cast("double")),
+          F.transform($"arr", x => x.cast("double"))).as("cs1"),
+        graft.functions.CosineSim(
+          F.transform($"arr", x => x.cast("double") * 3),
+          F.transform($"arr", x => x.cast("double"))).as("cs2"),
+        graft.functions.HyperplaneBucket(
+          F.transform($"arr", x => x.cast("double")), 3, 4, 42L).as("hb1"),
+        graft.functions.HyperplaneBucket(
+          F.transform($"arr", x => x.cast("double")), 3, 4, 7L).as("hb2"))
       assert(twice.collect().length == 2)
 
       // the original trigger: the same predicate under sum(when) AND

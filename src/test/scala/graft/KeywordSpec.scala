@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.compile.ConstraintCompiler
+import graft.dsl.Constraint._
+import graft.dsl.ConstraintSuite
+import graft.exec.Validator
+import graft.registry.ConstraintRegistry
+
+/** Round-2 keyword coverage: patternProperties / properties value
+  * subschemas on map columns, unevaluatedItems/unevaluatedProperties
+  * static coverage analysis, ref fragments + anchors, and the
+  * instance_path violation field. */
+class KeywordSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val maps = Seq(
+    ("m1", Map("x-a" -> "1", "x-b" -> "2", "note" -> "ok")),
+    ("m2", Map("x-a" -> "oops", "note" -> "ok")),
+    ("m3", Map("note" -> "this-note-is-rather-long")),
+    ("m4", Map.empty[String, String]))
+    .toDF("doc_id", "attrs")
+
+  private def failures(suite: ConstraintSuite,
+      df: org.apache.spark.sql.DataFrame = maps): Set[(String, String)] =
+    Validator.validateWithDetails(
+        df, ConstraintCompiler.compile(suite), Seq.empty)
+      .violations.select("doc_id", "constraint_id")
+      .as[(String, String)].collect().toSet
+
+  test("patternValues: value subschema for regex-matched keys") {
+    val suite = ConstraintSuite("pv", Seq(
+      PatternValues("xs_numeric", "attrs", "^x-",
+        TypeIs("t", "$", "integer"))))
+    assert(failures(suite) == Set("m2" -> "xs_numeric"))
+  }
+
+  test("propertyValues: subschema for one key; absent key passes") {
+    val suite = ConstraintSuite("p", Seq(
+      PropertyValues("note_len", "attrs", "note",
+        LengthBounds("l", "$", None, Some(10)))))
+    assert(failures(suite) == Set("m3" -> "note_len"))
+  }
+
+  test("unevaluatedProperties: only uncovered keys are checked") {
+    // x-* covered by patternValues, note covered by propertyValues —
+    // nothing uncovered, so even m3's long note passes the unevaluated
+    // check (it is evaluated by note_len, which itself fails)
+    val covered = ConstraintSuite("u1", Seq(
+      PatternValues("xs", "attrs", "^x-", TypeIs("t", "$", "integer")),
+      PropertyValues("note_len", "attrs", "note",
+        LengthBounds("l", "$", None, Some(10))),
+      UnevaluatedProperties("no_extra", "attrs", BoolSchema("f", false))))
+    val f1 = failures(covered)
+    assert(!f1.exists(_._2 == "no_extra"), f1)
+
+    // drop the note coverage: 'note' becomes unevaluated and the
+    // false-schema flags every row that HAS a note key
+    val uncovered = ConstraintSuite("u2", Seq(
+      PatternValues("xs", "attrs", "^x-", TypeIs("t", "$", "integer")),
+      UnevaluatedProperties("no_extra", "attrs", BoolSchema("f", false))))
+    val f2 = failures(uncovered)
+    assert(f2.filter(_._2 == "no_extra").map(_._1) == Set("m1", "m2", "m3"))
+  }
+
+  test("unevaluatedProperties: KeysIn (additionalProperties) covers all") {
+    val suite = ConstraintSuite("u3", Seq(
+      KeysIn("allow", "attrs", Seq("x-a", "x-b", "note")),
+      UnevaluatedProperties("no_extra", "attrs", BoolSchema("f", false))))
+    assert(!failures(suite).exists(_._2 == "no_extra"))
+  }
+
+  test("unevaluatedItems: prefix coverage leaves the tail checked") {
+    val arrs = Seq(
+      ("a1", Seq(1, 2, 3)),   // tail (3) violates <= 2
+      ("a2", Seq(1, 2)),      // fully covered by prefix
+      ("a3", Seq(9, 9, 1)))   // prefix exempt, tail 1 passes
+      .toDF("doc_id", "xs")
+    val suite = ConstraintSuite("ui", Seq(
+      PrefixItems("prefix", "xs", Seq(
+        Bounds("p0", "$", None, Some(9)), Bounds("p1", "$", None, Some(9)))),
+      UnevaluatedItems("tail_small", "xs",
+        Bounds("b", "$", None, Some(2)))))
+    val f = failures(suite, arrs)
+    assert(f.filter(_._2 == "tail_small").map(_._1) == Set("a1"))
+
+    // eachElement on the same column covers everything → no failures
+    val full = ConstraintSuite("ui2", Seq(
+      EachElement("all", "xs", Bounds("b0", "$", None, Some(9))),
+      UnevaluatedItems("tail_small", "xs", BoolSchema("f", false))))
+    assert(!failures(full, arrs).exists(_._2 == "tail_small"))
+
+    // prefixItems + items-after-prefix together also cover everything
+    val pfxTail = ConstraintSuite("ui3", Seq(
+      PrefixItems("prefix", "xs", Seq(Bounds("p0", "$", None, Some(9)))),
+      EachElementFrom("rest", "xs", 1, Bounds("b1", "$", None, Some(9))),
+      UnevaluatedItems("tail_small", "xs", BoolSchema("f", false))))
+    assert(!failures(pfxTail, arrs).exists(_._2 == "tail_small"))
+  }
+
+  test("ref fragments and anchors: suite#cid, #cid, errors") {
+    val reg = ConstraintRegistry.empty
+    reg.register("common", ConstraintSuite("common", Seq(
+      AllOf("grp", Seq(
+        Bounds("positive", "n", Some(0), None),
+        Bounds("small", "n", None, Some(10)))))))
+    val df = Seq(("r1", 5), ("r2", 50), ("r3", -1)).toDF("doc_id", "n")
+
+    // fragment: only the 'small' constraint is inlined, not 'positive'
+    val frag = ConstraintCompiler.compile(ConstraintSuite("s", Seq(
+      Ref("use_small", "common#small"))), reg)
+    val bad = df.withColumn("ok", frag.rowPredicate)
+      .filter(!F.col("ok")).select("doc_id").as[String].collect().toSet
+    assert(bad == Set("r2")) // r3 (-1) passes: 'positive' NOT referenced
+
+    // self-fragment: #cid resolves inside the suite being compiled
+    val self = ConstraintCompiler.compile(ConstraintSuite("s2", Seq(
+      Bounds("lo", "n", Some(0), None),
+      IfThen("cond", ExprIs("always", "true"), Ref("again", "#lo")))), reg)
+    val bad2 = df.withColumn("ok", self.rowPredicate)
+      .filter(!F.col("ok")).select("doc_id").as[String].collect().toSet
+    assert(bad2 == Set("r3"))
+
+    // unresolved fragment → descriptive compile error
+    val e = intercept[ConstraintCompiler.CompileException] {
+      ConstraintCompiler.compile(ConstraintSuite("s3", Seq(
+        Ref("r", "common#nope"))), reg)
+    }
+    assert(e.getMessage.contains("unresolved fragment"))
+
+    // fragment cycles still detected
+    reg.register("loop", ConstraintSuite("loop", Seq(
+      AllOf("a", Seq(Ref("b", "loop#a"))))))
+    val e2 = intercept[ConstraintCompiler.CompileException] {
+      ConstraintCompiler.compile(ConstraintSuite("s4", Seq(
+        Ref("r", "loop#a"))), reg)
+    }
+    assert(e2.getMessage.contains("cyclic"))
+  }
+
+  test("instance_path: column paths and first failing element index") {
+    val df = Seq(
+      ("d1", 500, Seq(1, 2, 3)),
+      ("d2", 5, Seq(1, 999, 3, 999)))
+      .toDF("doc_id", "n_chars", "tokens")
+    val suite = ConstraintCompiler.compile(ConstraintSuite("ip", Seq(
+      Bounds("nc", "n_chars", None, Some(400)),
+      EachElement("tok", "tokens", Bounds("b", "$", None, Some(100))))))
+    val got = Validator.validateWithDetails(df, suite, Seq.empty)
+      .violations.select("doc_id", "constraint_id", "instance_path")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("d1", "nc", "/n_chars"),
+      ("d2", "tok", "/tokens/1"))) // FIRST failing index (0-based)
+  }
+
+  test("new keywords round-trip through JSON") {
+    val suite = ConstraintSuite("rt", Seq(
+      PropertyValues("pv", "attrs", "note",
+        LengthBounds("l", "$", None, Some(10))),
+      PatternValues("pat", "attrs", "^x-", TypeIs("t", "$", "integer")),
+      UnevaluatedItems("ui", "xs", Bounds("b", "$", None, Some(2))),
+      UnevaluatedProperties("up", "attrs", BoolSchema("f", false))))
+    val json = graft.dsl.ConstraintJson.renderSuite(suite)
+    assert(graft.dsl.ConstraintJson.parseSuite(json) == suite)
+  }
+}

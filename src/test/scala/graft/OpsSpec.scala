@@ -88,12 +88,62 @@ class OpsSpec extends SparkSpec {
   }
 
   test("embedding near-dup finds the planted close pair only") {
-    val pairs = Dedup.embeddingNearDup(vecs, "id", "embedding",
+    val pairs = Dedup.embeddingNearDup(vecs, "id", "embedding", dim = 4,
       minCosine = 0.95, planes = 4)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs.contains(("v1", "v2")))
     assert(pairs.contains(("v3", "v4")))
     assert(pairs.size == 2)
+  }
+
+  test("bucketedPairs: all pairs under the cap, star pairs above it") {
+    val rows = Seq(
+      ("b1", "a"), ("b1", "b"), ("b1", "c"),                   // small: 3 pairs
+      ("b2", "p"), ("b2", "q"), ("b2", "r"), ("b2", "s"), ("b2", "t"))
+      .toDF("bucket", "id").withColumn("pl", F.lit(1))
+    val pairs = Dedup.bucketedPairs(rows, Seq("bucket"), "id",
+        Seq("pl"), maxBucket = 3)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    // b1 (size 3 ≤ cap): all 3 pairs
+    assert(pairs.intersect(Set(("a","b"),("a","c"),("b","c"))).size == 3)
+    // b2 (size 5 > cap): star around rep "p" — exactly 4 pairs, no q-r etc.
+    assert(pairs.filter(_._1 == "p") == Set(("p","q"),("p","r"),("p","s"),("p","t")))
+    assert(!pairs.contains(("q", "r")))
+    assert(pairs.size == 7)
+  }
+
+  test("codegen vector ops match the higher-order formulation") {
+    import graft.functions.{CosineSim, DotProduct, HyperplaneBucket}
+    val two = vecs.select($"id", $"embedding".cast("array<double>").as("v"))
+      .crossJoin(vecs.select($"id".as("id2"),
+        $"embedding".cast("array<double>").as("w")))
+      .filter($"id" < $"id2")
+    val got = two.select($"id", $"id2",
+      DotProduct($"v", $"w").as("dot"),
+      CosineSim($"v", $"w").as("cos"),
+      F.aggregate(F.zip_with($"v", $"w", (x, y) => x * y),
+        F.lit(0.0), (acc, x) => acc + x).as("dot_ref"))
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(4)) < 1e-12,
+        s"${r.getString(0)}-${r.getString(1)}")
+    }
+    val c12 = got.find(r => r.getString(0) == "v1" && r.getString(1) == "v2")
+      .get.getDouble(3)
+    assert(math.abs(c12 - 0.99 / math.sqrt(0.99 * 0.99 + 0.01)) < 1e-9)
+
+    // HyperplaneBucket = sign bits of the same seeded plane dots
+    val planes = HyperplaneBucket.planesFor(4, 6, 42L)
+    val expected = vecs.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      r.getString(0) -> planes.zipWithIndex.map { case (p, i) =>
+        if (p.zip(v).map { case (a, b) => a * b }.sum >= 0) 1L << i else 0L
+      }.reduce(_ | _)
+    }.toMap
+    val gotB = vecs.select($"id",
+        HyperplaneBucket($"embedding", 4, 6, 42L).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotB == expected)
   }
 
   test("token counting: whitespace and subword") {
@@ -143,6 +193,42 @@ class OpsSpec extends SparkSpec {
     assert(fp("d1") == fp("d2"))
     assert(fp("d1") == fp("d5")) // case/punct/space-normalized
     assert(fp("d1") != fp("d3"))
+  }
+
+  test("image headers: real PNG/JPEG/GIF byte parsing") {
+    import graft.ops.ImageHeaders
+    import graft.ops.ImageHeaders.Dims
+
+    val png = ImageHeaders.buildPng(300, 200)
+    assert(png.length == 45)
+    // spec layout: BE u32 width at offset 16 (300 = 0x012C)
+    assert((png(16) & 0xff, png(17) & 0xff, png(18) & 0xff,
+      png(19) & 0xff) == ((0, 0, 1, 0x2c)))
+    assert(ImageHeaders.parse(png).contains(Dims("png", 300, 200)))
+
+    assert(ImageHeaders.parse(ImageHeaders.buildJpeg(640, 480))
+      .contains(Dims("jpeg", 640, 480)))
+
+    // hand-assembled JPEG: SOI, COM segment, then PROGRESSIVE SOF2 —
+    // exercises the segment walk and non-SOF0 frame markers
+    val jpeg = Array(
+      0xff, 0xd8,                                     // SOI
+      0xff, 0xfe, 0x00, 0x06, 'a', 'b', 'c', 'd',     // COM len 6
+      0xff, 0xc2, 0x00, 0x0b, 0x08,                   // SOF2 len 11, prec 8
+      0x01, 0xe0,                                     // height 480
+      0x02, 0x80,                                     // width 640
+      0x01, 0x01, 0x11, 0x00                          // 1 component
+    ).map(_.toByte)
+    assert(ImageHeaders.parse(jpeg).contains(Dims("jpeg", 640, 480)))
+
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array(0x40, 0x01, 0xf0, 0x00).map(_.toByte))    // 320 × 240 LE
+    assert(ImageHeaders.parse(gif).contains(Dims("gif", 320, 240)))
+
+    // garbage / truncated payloads parse to None, never throw
+    assert(ImageHeaders.parse(Array[Byte](1, 2, 3)).isEmpty)
+    assert(ImageHeaders.parse(png.take(20)).isEmpty)
+    assert(ImageHeaders.parse(Array.fill[Byte](64)(0x41)).isEmpty)
   }
 
   test("multimodal: stub decode plumbing preserves schema and batches") {

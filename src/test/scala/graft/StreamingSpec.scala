@@ -12,11 +12,13 @@ import graft.streaming.StreamValidator
 
 /** Streaming validation: same compiled suite over a MemoryStream,
   * violations appended per micro-batch; watermarked windowed verdicts. */
+/** Top-level so Spark's codegen'd encoder can instantiate it — a
+  * spec-nested case class forces the interpreted-encoder fallback. */
+case class StreamEv(doc_id: String, n_tok: Int, source: String,
+    ts: Timestamp)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
-
-  private case class Ev(doc_id: String, n_tok: Int, source: String,
-      ts: Timestamp)
   private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
 
   test("violation stream emits per-batch violations") {
@@ -44,7 +46,7 @@ class StreamingSpec extends SparkSpec {
 
   test("windowed verdicts aggregate per event-time window and partition") {
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
+    val mem = MemoryStream[StreamEv]
     val suite = ConstraintCompiler.compile(ConstraintSuite("s", Seq(
       Bounds("n_tok_max", "n_tok", None, Some(5)))))
     val q = StreamValidator.windowedVerdicts(mem.toDF(), suite,
@@ -53,11 +55,11 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Append()).start()
     try {
       mem.addData(
-        Ev("a", 3, "web", ts(1)), Ev("b", 9, "web", ts(2)),
-        Ev("c", 2, "books", ts(3)))
+        StreamEv("a", 3, "web", ts(1)), StreamEv("b", 9, "web", ts(2)),
+        StreamEv("c", 2, "books", ts(3)))
       q.processAllAvailable()
       // advance watermark far enough to finalize the first window
-      mem.addData(Ev("z", 1, "web", ts(40)))
+      mem.addData(StreamEv("z", 1, "web", ts(40)))
       q.processAllAvailable()
       val rows = spark.table("verdict_sink")
         .selectExpr("source", "n_rows", "n_bad_rows", "rows_ok")
