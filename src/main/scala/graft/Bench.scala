@@ -38,11 +38,14 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // headline: fast-path validation throughput on the input_hint table
-    // (2M rows keeps the driver-contract run short; the rigorous
-    // large-input numbers live in BENCH/BASELINE.md)
+    // headline: fast-path validation throughput on the input_hint table.
+    // 8M rows / 4 timed reps: big enough that the ~2.4 s fixed
+    // driver/stage-orchestration cost (BENCH/BASELINE.md) is amortized
+    // and JIT steady state (~4 passes) is reached — a 2M×2-rep
+    // measurement structurally understates the scalable rate.
     val (seqPerSec, nRows) =
-      Scaling.validationThroughput(spark, cpus.toInt, nRows = 2000000L)
+      Scaling.validationThroughput(spark, cpus.toInt, nRows = 8000000L,
+        reps = 4)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -53,16 +53,24 @@ object Scaling {
       spark: SparkSession, cpus: Int,
       nRows: Long = DefaultRows, reps: Int = 2): (Double, Long) = {
     val dir = ensureData(spark, nRows)
-    // GRAFT_BENCH_SUITE=rowlocal measures the scan+predicate path alone
-    // (no dataset-check shuffles) — the two regimes scale differently on
-    // one box and the report presents both
+    // GRAFT_BENCH_SUITE: "rowlocal" = scan+predicate path alone (no
+    // dataset-check shuffles); "drop:unique,drift,ri" = full suite minus
+    // the named checks (per-check cost attribution). The two regimes
+    // scale differently on one box and the report presents both.
+    val mode = sys.env.getOrElse("GRAFT_BENCH_SUITE", "full")
+    val dropped: C => Boolean = mode match {
+      case "rowlocal" => c =>
+        c.isInstanceOf[C.Unique] || c.isInstanceOf[C.RefIntegrity] ||
+          c.isInstanceOf[C.NoDrift]
+      case m if m.startsWith("drop:") =>
+        val names = m.stripPrefix("drop:").split(",").toSet
+        c => (names.contains("unique") && c.isInstanceOf[C.Unique]) ||
+          (names.contains("ri") && c.isInstanceOf[C.RefIntegrity]) ||
+          (names.contains("drift") && c.isInstanceOf[C.NoDrift])
+      case _ => _ => false
+    }
     val suite = ConstraintCompiler.compile(
-      if (sys.env.get("GRAFT_BENCH_SUITE").contains("rowlocal"))
-        ConstraintSuite(benchSuite.id,
-          benchSuite.constraints.filterNot(c =>
-            c.isInstanceOf[C.Unique] || c.isInstanceOf[C.RefIntegrity] ||
-              c.isInstanceOf[C.NoDrift]))
-      else benchSuite)
+      ConstraintSuite(benchSuite.id, benchSuite.constraints.filterNot(dropped)))
     // DataFrame (and its file index) built once, outside the timed loop —
     // the validate-many analogue of the reference's reusable compiled
     // template; file listing is a constant driver cost at any cluster

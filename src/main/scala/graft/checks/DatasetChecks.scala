@@ -43,27 +43,35 @@ object DatasetCheck {
 }
 
 /**
- * C3 — table-scope key uniqueness via an EXPLICIT salted two-phase
- * hash-aggregate: phase 1 pre-aggregates per (key, salt) where the salt is
- * the input partition id — so a hot key duplicated millions of times in
- * one partition collapses to one row per partition BEFORE the shuffle —
- * phase 2 merges counts per key. (Spark's partial aggregation does this
- * implicitly for `count`; making the salt explicit keeps the skew
- * guarantee independent of aggregate pushdown and documents the 100 TB
- * strategy.) Violations: one row per duplicated key value (not per
- * duplicate row) — at 10^12 rows, emitting the key with its count keeps
- * violation volume proportional to the number of BAD KEYS.
+ * C3 — table-scope key uniqueness via a HASH-FIRST two-phase aggregate.
+ *
+ * Keys are near-unique by construction, so partial aggregation cannot
+ * compress the shuffle — a direct `groupBy(key)` moves every key string
+ * through the exchange (~10^12 × 25+ B at scale). Phase 1 therefore
+ * shuffles only `xxhash64(key)` — 8 bytes/row, with map-side partial
+ * aggregation collapsing any hot key to one row per map task before the
+ * exchange (the skew guard) — and keeps just hashes seen more than
+ * once. Phase 2 re-scans the key column, semi-joins the (small)
+ * candidate-hash set (AQE broadcasts it when it fits), and recounts
+ * EXACTLY on the real key — so xxhash64 collisions (≈ n²/2^65 false
+ * candidates: a few ×10^4 at 10^12 rows) are filtered, never reported.
+ * Violations: one row per duplicated key value (not per duplicate row) —
+ * violation volume stays proportional to the number of BAD KEYS.
  */
 final case class UniqueCheck(id: String, col: String, expected: String)
     extends DatasetCheck {
   def violations(df: DataFrame, idCol: String, partitionCols: Seq[String],
       dims: Map[String, DataFrame]): DataFrame = {
-    val phase1 = df
-      .select(F.col(col).cast("string").as("_k"))
-      .groupBy(F.col("_k"), F.spark_partition_id().as("_salt"))
-      .agg(F.count(F.lit(1)).as("_c"))
-    phase1
-      .groupBy("_k").agg(F.sum("_c").as("_cnt"))
+    val keys = df.select(F.col(col).cast("string").as("_k"))
+    val candidateHashes = keys
+      .select(F.xxhash64(F.col("_k")).as("_h"))
+      .groupBy("_h").agg(F.count(F.lit(1)).as("_hc"))
+      .filter(F.col("_hc") > 1)
+      .select("_h")
+    keys
+      .join(candidateHashes,
+        F.xxhash64(F.col("_k")) === F.col("_h"), "left_semi")
+      .groupBy("_k").agg(F.count(F.lit(1)).as("_cnt"))
       .filter(F.col("_cnt") > 1)
       .select(
         F.coalesce(F.col("_k"), F.lit("null")).as("doc_id"),
@@ -156,48 +164,66 @@ final case class DriftCheck(
 
   /** The per-partition divergence values `(partitionCols..., metric)` —
     * the inspectable face of the check (all partitions above the
-    * support floor). */
+    * support floor).
+    *
+    * SINGLE-LINEAGE construction — the 100 TB property that matters:
+    * the input is scanned ONCE into the per-(partition, bucket)
+    * histogram; everything after (per-partition totals, the dense
+    * bucket grid, global per-bucket counts, the grand total) derives
+    * from that tiny aggregate via collect_list/explode and window sums,
+    * never by re-joining plans that re-reference the input. (DataFrame
+    * reuse does not dedupe scans — a parts/global/grid self-join shape
+    * re-scans the table up to 3×, observed live in the AQE plan.) */
   def metrics(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(partitionCols.nonEmpty, s"drift check '$id' needs partitionCols")
     val width = (hi - lo) / buckets
     val pcols = partitionCols.map(F.col)
     val bucket = F.least(F.lit(buckets - 1), F.greatest(F.lit(0),
       F.floor((F.col(col).cast("double") - lo) / width))).as("_b")
 
-    // One pass: per-(partition, bucket) counts. Referenced three times
-    // below (parts, global, grid) — Spark's ReuseExchange dedupes the
-    // identical shuffle exchanges so the INPUT SCAN still happens once;
-    // no .cache() (a per-plan-instance cache here leaks in long-lived
-    // sessions, since nothing ever unpersists it).
+    // the ONE pass over the input
     val hist = df.filter(F.col(col).isNotNull)
       .select(pcols :+ bucket: _*)
       .groupBy((pcols :+ F.col("_b")): _*)
       .agg(F.count(F.lit(1)).as("_c"))
 
-    val global = hist.groupBy("_b").agg(F.sum("_c").as("_gc"))
-    // partitions below the support floor cannot evidence drift — skip them
-    val parts = hist.groupBy(pcols: _*).agg(F.sum("_c").as("_pt"))
-      .filter(F.col("_pt") >= minRows)
-    val allBuckets = df.sparkSession
-      .range(buckets.toLong).select(F.col("id").as("_b"))
+    // one row per partition: bucket→count map + total (≤ buckets entries)
+    val perPart = hist.groupBy(pcols: _*).agg(
+      F.map_from_entries(F.collect_list(F.struct(F.col("_b"), F.col("_c"))))
+        .as("_bm"),
+      F.sum("_c").as("_pt"))
+
+    // dense grid: every (partition, bucket) with its count (0 if absent)
+    val allBuckets = F.array((0 until buckets).map(b => F.lit(b.toLong)): _*)
+    val grid = perPart
+      .select(pcols ++ Seq(F.col("_bm"), F.col("_pt"),
+        F.explode(allBuckets).as("_b")): _*)
+      .withColumn("_c",
+        F.coalesce(F.try_element_at(F.col("_bm"), F.col("_b")), F.lit(0L)))
+      .drop("_bm")
+      // global per-bucket count and grand total: window sums over the
+      // grid (ALL partitions present, so these equal sums over the raw
+      // histogram — the support-floor filter applies only at the end)
+      .withColumn("_gc", F.sum("_c").over(Window.partitionBy("_b")))
+      .withColumn("_gt", F.sum("_c").over(Window.partitionBy()))
 
     val eps = 1e-6
-    val grid = parts.crossJoin(allBuckets)
-      .join(hist, partitionCols :+ "_b", "left")
-      .join(F.broadcast(global), Seq("_b"), "left")
-    val gtot = F.sum(F.col("_gc")).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(pcols: _*))
-    val p = (F.coalesce(F.col("_c"), F.lit(0L)).cast("double") + eps) /
+    val p = (F.col("_c").cast("double") + eps) /
       (F.col("_pt").cast("double") + eps * buckets)
-    val q = (F.coalesce(F.col("_gc"), F.lit(0L)).cast("double") + eps) /
-      (gtot.cast("double") + eps * buckets)
+    val q = (F.col("_gc").cast("double") + eps) /
+      (F.col("_gt").cast("double") + eps * buckets)
     val term = metric match {
       case "psi" => (p - q) * F.log(p / q)
       case "kl"  => p * F.log(p / q)
     }
     grid
-      .select(pcols :+ term.as("_t"): _*)
-      .groupBy(pcols: _*).agg(F.sum("_t").as("metric"))
+      .select(pcols ++ Seq(F.col("_pt"), term.as("_t")): _*)
+      .groupBy(pcols: _*)
+      .agg(F.sum("_t").as("metric"), F.first("_pt").as("_pt"))
+      // partitions below the support floor cannot evidence drift
+      .filter(F.col("_pt") >= minRows)
+      .drop("_pt")
   }
 }
 

@@ -50,6 +50,19 @@ object Explain {
         dims = dims)
       .violations.explain("formatted")
 
+    println("==== runtime AQE plan (after execution): exchange reuse ====")
+    val v = Validator.validate(table.scanAll(), suite, Seq("source"),
+      dims = dims)
+    v.collect()
+    val finalPlan = v.queryExecution.executedPlan.toString
+    val reused = finalPlan.linesIterator.count(_.contains("ReusedExchange"))
+    val stages = finalPlan.linesIterator.count(_.contains("ShuffleQueryStage"))
+    val scans = finalPlan.linesIterator.count(_.contains("Scan parquet"))
+    println(s"ReusedExchange nodes: $reused; ShuffleQueryStages: $stages; " +
+      s"parquet scans: $scans")
+    finalPlan.linesIterator.filter(_.contains("ReadSchema"))
+      .foreach(l => println("  scan: " + l.trim.take(160)))
+
     spark.stop()
   }
 }

@@ -86,6 +86,38 @@ class CheckpointSpec extends SparkSpec {
     assert(pending == Seq("source=src2"))
   }
 
+  test("global checks see the whole table on partial runs") {
+    // A duplicate doc_id SPANNING partitions that are validated in
+    // DIFFERENT runs must still be detected: dataset-level checks
+    // evaluate over scanAll(), not the pending subset.
+    val base = Files.createTempDirectory("graft-cp5").toString
+    val rows = Seq(
+      ("dup-x", Seq(1, 2), 2, "srcA"),
+      ("a2", Seq(3), 1, "srcA"),
+      ("dup-x", Seq(9), 1, "srcB"), // same key, other partition
+      ("b2", Seq(4), 1, "srcB"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    rows.write.partitionBy("source").parquet(s"$base/data")
+    val table = new ParquetPartitionedTable(spark, s"$base/data", "source")
+    val uniq = ConstraintCompiler.compile(ConstraintSuite("u", Seq(
+      Unique("uq", "doc_id"))))
+    val cp = new CheckpointStore(spark, s"$base/checkpoint")
+
+    // run 1 validates only srcA — the duplicate's other half is in srcB,
+    // but the global uniqueness scan must already see it
+    val r1 = PartitionedRunner.run(table, uniq, cp, "r1", maxPartitions = 1)
+    assert(r1.processed == Seq("source=srcA"))
+    val v1 = r1.violations.collect()
+    assert(v1.exists(_.getAs[String]("doc_id") == "dup-x"), v1.mkString)
+    val e1 = cp.load().filter($"run_id" === "r1").collect()
+    assert(e1.forall(!_.getAs[Boolean]("valid"))) // global check failed
+
+    val r2 = PartitionedRunner.run(table, uniq, cp, "r2")
+    assert(r2.processed == Seq("source=srcB"))
+    assert(r2.violations.collect()
+      .exists(_.getAs[String]("doc_id") == "dup-x"))
+  }
+
   test("checkpoint entries carry lineage + metrics") {
     val base = Files.createTempDirectory("graft-cp4").toString
     val table = mkTable(s"$base/data")
