@@ -107,10 +107,25 @@ object Scaling {
       // cores and the default is fine; this knob matters exactly when
       // input-bytes/cores < maxPartitionBytes.
       .config("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
+      // Shuffle spill dir on tmpfs when available: this box funnels every
+      // thread's shuffle files through ONE virtual disk, which a real
+      // cluster does not (each executor has its own local disks) — the
+      // single-disk artifact otherwise dominates the shuffle-heavy suite
+      // at high thread counts and understates cluster scaling.
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  private def localDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-shuffle")
+      d.mkdirs()
+      d.getAbsolutePath
+    } else System.getProperty("java.io.tmpdir")
   }
 
   /**
@@ -129,9 +144,10 @@ object Scaling {
   def main(args: Array[String]): Unit = args.toList match {
     case "measure" :: cpus :: rest =>
       val nRows = rest.headOption.map(_.toLong).getOrElse(DefaultRows)
+      val reps = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
       val s = session(cpus.toInt)
       ensureData(s, nRows)
-      val (thr, _) = validationThroughput(s, cpus.toInt, nRows, reps = 8)
+      val (thr, _) = validationThroughput(s, cpus.toInt, nRows, reps = reps)
       println(f"""{"scaling_measure":{"cpus":$cpus,"rows":$nRows,"seq_per_sec":$thr%.0f}}""")
       s.stop()
     case "report" :: lo :: hi :: tLo :: tHi :: rest =>

@@ -249,6 +249,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s_knn_ivf" -> ((s, dir) => {
+      // IVF ANN with the SQL-reproducible quantizer (first-16 corpus
+      // vectors, normalized) so the oracle replays the whole pipeline —
+      // assignment, probing, scoring, ranking. The k-means quantizer
+      // (Ivf.fitKMeans) is spec-tested; a trained model has no static
+      // SQL oracle by nature.
+      val e = table(s, dir, "embeddings").select(
+        F.col("vec_id").cast("string").as("vec_id"),
+        F.col("embedding").cast("array<double>").as("embedding"))
+      val q = table(s, dir, "embeddings").filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").cast("string").as("vec_id"),
+          F.col("embedding").cast("array<double>").as("embedding"))
+      val cents = graft.ops.Ivf.centroidsFromRows(
+        table(s, dir, "embeddings")
+          .select(F.col("vec_id"),
+            F.col("embedding").cast("array<double>").as("embedding")),
+        "vec_id", "embedding", k = 16)
+      graft.ops.Ivf.topK(q, e, "vec_id", "embedding", k = 3,
+          centroids = cents, nprobe = 4)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- text analysis ------------------------------------------------
     "t_tokens" -> ((s, dir) => {
       docs(s, dir).select(
@@ -539,6 +562,38 @@ object SparkEntry {
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
     "s_knn_lsh" -> lshOracleSql,
+    "s_knn_ivf" ->
+      """WITH e AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                     CAST(embedding AS DOUBLE[]))))
+        |      AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |assign AS (SELECT id, v, cell FROM (
+        |    SELECT e.id, e.v, cent.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.id
+        |        ORDER BY list_dot_product(e.v, cent.cv) DESC, cent.cell)
+        |        AS r
+        |    FROM e CROSS JOIN cent) WHERE r = 1),
+        |probes AS (SELECT id AS query_id, v AS qv, cell FROM (
+        |    SELECT e.id, e.v, cent.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.id
+        |        ORDER BY list_dot_product(e.v, cent.cv) DESC, cent.cell)
+        |        AS r
+        |    FROM e CROSS JOIN cent
+        |    WHERE CAST(e.id AS BIGINT) < 5) WHERE r <= 4),
+        |scored AS (SELECT p.query_id, a.id AS neighbor_id,
+        |    ROUND(list_dot_product(p.qv, a.v)
+        |      / (sqrt(list_dot_product(p.qv, p.qv))
+        |         * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+        |  FROM probes p JOIN assign a USING (cell)
+        |  WHERE p.query_id != a.id),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "m_media" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
         |  CAST(16 + doc_id % 64 AS INTEGER) AS width,

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.NearestCell
+
+/**
+ * IVF (inverted-file) approximate nearest-neighbor search — the
+ * centroid-partitioned complement to [[Similarity.lshTopK]].
+ *
+ * Index shape (the 100 TB story): the corpus is PARTITIONED BY CELL
+ * (nearest centroid, one codegen projection — no shuffle to assign);
+ * a query probes only its `nprobe` nearest cells, so the scored
+ * candidate set is `nprobe/k` of the corpus instead of all of it. On a
+ * real deployment the corpus would be written bucketed/partitioned by
+ * `cell` so a probe prunes at the file level; in-session we carry the
+ * cell column and join on it.
+ *
+ * Centroids are driver-side data by design (k ≤ a few thousand rows —
+ * the standard IVF coarse quantizer). Two ways to get them:
+ *  - [[Ivf.fitKMeans]] — Spark MLlib k-means on an L2-normalized sample
+ *    (Euclidean on unit vectors is monotone in cosine), seeded.
+ *  - [[Ivf.centroidsFromRows]] — first-k corpus vectors, normalized:
+ *    deterministic and reproducible in plain SQL, which is what the
+ *    driver-facing oracle checks end-to-end.
+ */
+object Ivf {
+
+  /** L2-normalize a double array (driver-side). */
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** k-means coarse quantizer over an L2-normalized sample. Returns
+    * L2-normalized centroids (spherical k-means convention). */
+  def fitKMeans(
+      df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+      sampleFraction: Double = 1.0, maxIter: Int = 10)
+      : Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample =
+      (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)
+        .select(F.col(vecCol).cast("array<double>").as("_v"))
+        .select(array_to_vector(normalizeCol(F.col("_v"))).as("features"))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(sample)
+    model.clusterCenters.map(c => normalize(c.toArray))
+  }
+
+  /** First `k` rows (ordered by `idCol`) as normalized centroids — the
+    * deterministic, SQL-reproducible quantizer used by the oracle-
+    * checked driver query. Collects exactly k rows (bounded). */
+  def centroidsFromRows(
+      df: DataFrame, idCol: String, vecCol: String, k: Int)
+      : Array[Array[Double]] =
+    df.orderBy(F.col(idCol))
+      .select(F.col(vecCol).cast("array<double>"))
+      .limit(k)
+      .collect()
+      .map(r => normalize(r.getSeq[Double](0).toArray))
+
+  /** Column form of L2 normalization (used at fit time only — the
+    * search path never needs to normalize, argmax-dot is norm-free). */
+  private def normalizeCol(v: Column): Column = {
+    val n = F.sqrt(F.aggregate(F.transform(v, x => x * x),
+      F.lit(0.0), (a, x) => a + x))
+    F.transform(v, x => x / n)
+  }
+
+  /** Approximate top-k: corpus rows are scored only for queries probing
+    * their cell. `nprobe` trades recall for cost (cells scanned). */
+  def topK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      "nprobe must be in [1, k-centroids]")
+    // corpus: one codegen projection assigns the cell — no shuffle
+    val c = corpus.select(
+      F.col(idCol).cast("string").as("neighbor_id"),
+      F.col(vecCol).as("cv"),
+      NearestCell(F.col(vecCol), centroids).as("cell"))
+    // queries: rank all k cells by dot (k is small), keep nprobe
+    val centDf = centroids.zipWithIndex.map { case (cv, i) =>
+      (i, cv.toSeq)
+    }.toSeq
+    val q0 = queries.select(
+      F.col(idCol).cast("string").as("query_id"), F.col(vecCol).as("qv"))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = centDf.toDF("cell", "centroid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(F.col("_dot").desc, F.col("cell"))
+    val probes = q0.crossJoin(F.broadcast(cents))
+      .withColumn("_dot",
+        graft.functions.DotProduct(F.col("qv"), F.col("centroid")))
+      .withColumn("_r", F.row_number().over(w))
+      .filter(F.col("_r") <= nprobe)
+      .select(F.col("query_id"), F.col("qv"), F.col("cell"))
+
+    val scored = F.broadcast(probes).join(c, Seq("cell"))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.round(Similarity.cosine(F.col("qv"), F.col("cv")), 6)
+          .as("cosine"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(F.col("cosine").desc, F.col("neighbor_id"))
+    scored.withColumn("rank", F.row_number().over(wk))
+      .filter(F.col("rank") <= k)
+  }
+}

@@ -87,6 +87,35 @@ class OpsSpec extends SparkSpec {
     assert(approx("v3") == brute("v3"))
   }
 
+  test("IVF: kmeans quantizer + cell-probed search recalls brute top-1") {
+    import graft.ops.Ivf
+    val brute = Similarity.cosineTopK(vecs, vecs, "id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(String, String)]
+      .collect().toMap
+    val cents = Ivf.fitKMeans(vecs, "embedding", k = 2, seed = 7L)
+    assert(cents.length == 2 && cents.forall(_.length == 4))
+    // normalized centroids
+    cents.foreach { c =>
+      assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9)
+    }
+    val got = Ivf.topK(vecs, vecs, "id", "embedding", k = 1,
+        centroids = cents, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(String, String)]
+      .collect().toMap
+    assert(got("v1") == brute("v1"))
+    assert(got("v3") == brute("v3"))
+
+    // deterministic quantizer: first-k rows, normalized
+    val seeded = Ivf.centroidsFromRows(vecs, "id", "embedding", 2)
+    assert(seeded.length == 2)
+    assert(math.abs(seeded(0).map(x => x * x).sum - 1.0) < 1e-9)
+    val got2 = Ivf.topK(vecs, vecs, "id", "embedding", k = 1,
+        centroids = seeded, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(String, String)]
+      .collect().toMap
+    assert(got2("v1") == brute("v1"))
+  }
+
   test("embedding near-dup finds the planted close pair only") {
     val pairs = Dedup.embeddingNearDup(vecs, "id", "embedding", dim = 4,
       minCosine = 0.95, planes = 4)
