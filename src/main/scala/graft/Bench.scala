@@ -23,6 +23,9 @@ object Bench {
       // (see Scaling.session + BENCH/BASELINE.md) — the exact knob that
       // only matters when input-bytes/cores < maxPartitionBytes.
       .config("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
+      // tmpfs shuffle dir when available — one shared virtual disk is
+      // the box's artifact, not the engine's (see Scaling.session)
+      .config("spark.local.dir", Scaling.localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -39,13 +42,13 @@ object Bench {
     }
 
     // headline: fast-path validation throughput on the input_hint table.
-    // 8M rows / 4 timed reps: big enough that the ~2.4 s fixed
-    // driver/stage-orchestration cost (BENCH/BASELINE.md) is amortized
-    // and JIT steady state (~4 passes) is reached — a 2M×2-rep
-    // measurement structurally understates the scalable rate.
+    // 32M rows / 3 timed reps: big enough that the fixed
+    // driver/stage-orchestration cost (constant in data size — see
+    // BENCH/BASELINE.md) is amortized and JIT steady state is reached;
+    // small-row measurements structurally understate the scalable rate.
     val (seqPerSec, nRows) =
-      Scaling.validationThroughput(spark, cpus.toInt, nRows = 8000000L,
-        reps = 4)
+      Scaling.validationThroughput(spark, cpus.toInt, nRows = 32000000L,
+        reps = 3)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

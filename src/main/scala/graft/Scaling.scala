@@ -119,7 +119,7 @@ object Scaling {
     s
   }
 
-  private def localDir: String = {
+  private[graft] def localDir: String = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {
       val d = new java.io.File(shm, "graft-shuffle")

@@ -24,7 +24,8 @@ class ConformanceSpec extends SparkSpec {
     StructField("tokens", ArrayType(IntegerType, containsNull = false),
       nullable = true),
     StructField("n_tok", IntegerType, nullable = true),
-    StructField("source", StringType, nullable = true)))
+    StructField("source", StringType, nullable = true),
+    StructField("attrs", MapType(StringType, StringType), nullable = true)))
 
   private def rowFrom(n: JsonNode): Row = Row(
     Option(n.get("doc_id")).filterNot(_.isNull).map(_.asText()).orNull,
@@ -32,7 +33,10 @@ class ConformanceSpec extends SparkSpec {
       .map(_.elements().asScala.map(_.asInt()).toSeq).orNull,
     Option(n.get("n_tok")).filterNot(_.isNull)
       .map(v => Int.box(v.asInt())).orNull,
-    Option(n.get("source")).filterNot(_.isNull).map(_.asText()).orNull)
+    Option(n.get("source")).filterNot(_.isNull).map(_.asText()).orNull,
+    Option(n.get("attrs")).filterNot(_.isNull)
+      .map(o => o.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap).orNull)
 
   test("conformance corpus: every case matches its golden verdict") {
     val in = getClass.getClassLoader
