@@ -297,26 +297,36 @@ object SparkEntry {
 
     // ---- multimodal ---------------------------------------------------
     "m_media" -> ((s, dir) => {
-      // Real image-header decode over deterministic payloads: PNG/JPEG
-      // bytes are BUILT with doc-derived dimensions, then PARSED back by
-      // the pure-JVM header parsers inside the mapPartitions decode
-      // batch — the oracle recomputes the dimensions from doc_id alone,
-      // so any parser/builder disagreement breaks the hash match.
+      // Real header decode across all three modalities over
+      // deterministic payloads: PNG/JPEG (dimensions), WAV (sample
+      // rate, channels, duration), MP4 (duration) bytes are BUILT with
+      // doc-derived parameters, then PARSED back by the pure-JVM
+      // parsers inside the mapPartitions decode batch — the oracle
+      // recomputes every field from doc_id alone, so any
+      // parser/builder disagreement breaks the hash match.
       import s.implicits._
-      import graft.ops.{ImageHeaders, MediaRow, Multimodal}
-      val rows = docs(s, dir).filter(F.col("doc_id") < 100)
+      import graft.ops.{ImageHeaders, MediaContainers, MediaRow, Multimodal}
+      val rows = docs(s, dir).filter(F.col("doc_id") < 150)
         .select(F.col("doc_id").cast("long")).as[Long]
         .map { id =>
-          val w = (16 + id % 64).toInt
-          val h = (16 + (id * 7) % 64).toInt
-          val payload =
-            if (id % 2 == 0) ImageHeaders.buildPng(w, h)
-            else ImageHeaders.buildJpeg(w, h)
-          MediaRow(id.toString, "image", payload, Map.empty)
+          val (kind, payload) = (id % 3) match {
+            case 0 =>
+              val w = (16 + id % 64).toInt
+              val h = (16 + (id * 7) % 64).toInt
+              ("image", if (id % 2 == 0) ImageHeaders.buildPng(w, h)
+                        else ImageHeaders.buildJpeg(w, h))
+            case 1 =>
+              ("audio", MediaContainers.buildWav(
+                8000, (1 + id % 2).toInt, 16, 10 + id % 50))
+            case _ =>
+              ("video", MediaContainers.buildMp4(1000L + (id % 60) * 250L))
+          }
+          MediaRow(id.toString, kind, payload, Map.empty)
         }
       Multimodal.extractFeatures(rows).toDF()
-        .select(F.col("doc_id"), F.col("width"), F.col("height"),
-          F.col("byte_len"))
+        .select(F.col("doc_id"), F.col("media_type"), F.col("width"),
+          F.col("height"), F.col("duration_ms"), F.col("sample_rate"),
+          F.col("channels"), F.col("byte_len"))
         .orderBy("doc_id")
     }))
 
@@ -596,11 +606,25 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "m_media" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-        |  CAST(16 + doc_id % 64 AS INTEGER) AS width,
-        |  CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS height,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 41 END AS INTEGER)
-        |    AS byte_len
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 64
+        |       ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 64
+        |       ELSE 0 END AS INTEGER) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0
+        |       WHEN 1 THEN 10 + doc_id % 50
+        |       ELSE 1000 + (doc_id % 60) * 250 END AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE 0 END AS INTEGER)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+        |       ELSE 0 END AS INTEGER) AS channels,
+        |  CAST(CASE doc_id % 3
+        |       WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 41 END
+        |       WHEN 1 THEN 44 + 16 * (1 + doc_id % 2) * (10 + doc_id % 50)
+        |       ELSE 132 END AS INTEGER) AS byte_len
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin)
 
   /** The near-dup corpus (docs + suffixed variants) as a SQL CTE —
     * kept textually identical across the oracles that rebuild it. */

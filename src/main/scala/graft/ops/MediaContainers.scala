@@ -1,0 +1,134 @@
+package graft.ops
+
+/**
+ * Pure-JVM audio/video container header parsing — real decode of the
+ * timing/layout metadata from WAV (RIFF) and MP4 (ISO-BMFF) payload
+ * bytes, no codec libraries. Sample DATA decode (PCM frames, video
+ * pictures) still needs codecs and stays behind [[MediaDecoder]].
+ *
+ * Formats (public container specs):
+ *  - WAV: "RIFF" + u32le size + "WAVE", then chunks `[4cc][u32le len]`;
+ *    the `fmt ` chunk carries format/channels/sampleRate/byteRate and
+ *    the `data` chunk's length over byteRate gives the duration.
+ *  - MP4: a box tree `[u32be size][4cc]`; `moov/mvhd` (version 0)
+ *    carries a u32be timescale and u32be duration at fixed offsets.
+ */
+object MediaContainers {
+
+  final case class WavInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      durationMs: Long)
+
+  final case class Mp4Info(timescaleHz: Int, durationMs: Long)
+
+  // ----------------------------------------------------------------
+  // WAV (RIFF)
+  // ----------------------------------------------------------------
+
+  def parseWav(b: Array[Byte]): Option[WavInfo] = {
+    if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
+      return None
+    var i = 12
+    var rate, chans, bits, byteRate = 0
+    var dataLen = -1L
+    while (i + 8 <= b.length) {
+      val len = le32(b, i + 4).toLong & 0xffffffffL
+      if (tag(b, i, "fmt ")) {
+        if (i + 8 + 16 > b.length) return None
+        chans = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        byteRate = le32(b, i + 16)
+        bits = le16(b, i + 22)
+      } else if (tag(b, i, "data")) {
+        dataLen = len
+      }
+      i += 8 + len.toInt + (len.toInt & 1) // chunks are 2-byte aligned
+    }
+    if (rate <= 0 || byteRate <= 0 || dataLen < 0) None
+    else Some(WavInfo(rate, chans, bits, dataLen * 1000L / byteRate))
+  }
+
+  /** Minimal PCM WAV: 44-byte canonical header + silent data sized for
+    * the requested duration. Deterministic length:
+    * 44 + byteRate·ms/1000. */
+  def buildWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      durationMs: Long): Array[Byte] = {
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    val dataLen = (byteRate * durationMs / 1000L).toInt
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1.toShort)                       // PCM
+    buf.putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+    buf.putShort((channels * bitsPerSample / 8).toShort)
+    buf.putShort(bitsPerSample.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    buf.array() // remaining dataLen bytes stay zero (silence)
+  }
+
+  // ----------------------------------------------------------------
+  // MP4 (ISO base media)
+  // ----------------------------------------------------------------
+
+  def parseMp4(b: Array[Byte]): Option[Mp4Info] = {
+    // walk top-level boxes for moov, then moov's children for mvhd
+    var i = 0
+    while (i + 8 <= b.length) {
+      val size = be32(b, i)
+      if (size < 8 || i + size > b.length) return None
+      if (tag(b, i + 4, "moov")) {
+        var j = i + 8
+        while (j + 8 <= i + size) {
+          val s2 = be32(b, j)
+          if (s2 < 8 || j + s2 > i + size) return None
+          if (tag(b, j + 4, "mvhd")) {
+            val version = b(j + 8) & 0xff
+            if (version != 0 || j + 8 + 24 > b.length) return None
+            val timescale = be32(b, j + 8 + 12)
+            val duration = be32(b, j + 8 + 16).toLong & 0xffffffffL
+            if (timescale <= 0) return None
+            return Some(Mp4Info(timescale, duration * 1000L / timescale))
+          }
+          j += s2
+        }
+        return None
+      }
+      i += size
+    }
+    None
+  }
+
+  /** Minimal MP4: `ftyp` + `moov(mvhd v0)`. Always 132 bytes. */
+  def buildMp4(durationMs: Long, timescaleHz: Int = 1000): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(132) // big-endian by default
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+    buf.put("isom".getBytes("US-ASCII")).putInt(0x200)
+    buf.putInt(116).put("moov".getBytes("US-ASCII"))
+    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    buf.putInt(0)                                 // version 0 + flags
+    buf.putInt(0).putInt(0)                       // ctime, mtime
+    buf.putInt(timescaleHz)
+    buf.putInt((durationMs * timescaleHz / 1000L).toInt)
+    buf.putInt(0x00010000)                        // rate 1.0
+    buf.putShort(0x0100.toShort)                  // volume 1.0
+    buf.putShort(0.toShort).putInt(0).putInt(0)   // reserved
+    for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+      buf.putInt(v)                               // identity matrix
+    for (_ <- 0 until 6) buf.putInt(0)            // pre-defined
+    buf.putInt(2)                                 // next track id
+    buf.array()
+  }
+
+  // -- helpers ------------------------------------------------------
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    i + 4 <= b.length && b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+      b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+}

@@ -11,7 +11,8 @@ final case class MediaRow(
     payload: Array[Byte],
     meta: Map[String, String])
 
-/** Extracted features for one asset (decode output). */
+/** Extracted features for one asset (decode output). `sample_rate` and
+  * `channels` are audio-only (0 otherwise). */
 final case class MediaFeatures(
     doc_id: String,
     media_type: String,
@@ -20,6 +21,8 @@ final case class MediaFeatures(
     height: Int,
     duration_ms: Long,
     frames_sampled: Int,
+    sample_rate: Int,
+    channels: Int,
     payload_hash: Long)
 
 /**
@@ -36,25 +39,43 @@ trait MediaDecoder extends Serializable {
 }
 
 /**
- * The shipped decoder: REAL pure-JVM header decode for images (PNG /
- * JPEG / GIF dimensions via [[ImageHeaders]] — actual byte parsing, no
- * stub), stub-derived features for audio/video (those genuinely need a
- * codec library this container doesn't have; only this branch changes
- * when one is available). Unparseable image payloads yield width/height
- * -1 — a violation-shaped outcome, never a task failure.
+ * The shipped decoder: REAL pure-JVM header decode for all three
+ * modalities — PNG/JPEG/GIF dimensions ([[ImageHeaders]]), WAV
+ * sample-rate/channels/duration and MP4 duration
+ * ([[MediaContainers]]) — actual byte parsing, no stubs. Sample-DATA
+ * decode (pixels, PCM frames) needs a codec library this container
+ * doesn't have; [[StubDecoder]] remains the fallback for payloads in
+ * other containers. Unparseable payloads yield -1 dimensions / the
+ * stub's pseudo-features — a violation-shaped outcome, never a task
+ * failure.
  */
 final class HeaderDecoder extends MediaDecoder {
   private val stub = new StubDecoder
-  override def decode(r: MediaRow): MediaFeatures =
-    if (r.media_type == "image") {
-      val h = r.payload.foldLeft(1125899906842597L)((a, b) => 31 * a + b)
-      ImageHeaders.parse(r.payload) match {
+  override def decode(r: MediaRow): MediaFeatures = {
+    def h = r.payload.foldLeft(1125899906842597L)((a, b) => 31 * a + b)
+    r.media_type match {
+      case "image" => ImageHeaders.parse(r.payload) match {
         case Some(d) => MediaFeatures(r.doc_id, r.media_type,
-          r.payload.length, d.width, d.height, 0L, 1, h)
+          r.payload.length, d.width, d.height, 0L, 1, 0, 0, h)
         case None => MediaFeatures(r.doc_id, r.media_type,
-          r.payload.length, -1, -1, 0L, 1, h)
+          r.payload.length, -1, -1, 0L, 1, 0, 0, h)
       }
-    } else stub.decode(r)
+      case "audio" => MediaContainers.parseWav(r.payload) match {
+        case Some(w) => MediaFeatures(r.doc_id, r.media_type,
+          r.payload.length, 0, 0, w.durationMs, 0, w.sampleRate,
+          w.channels, h)
+        case None => stub.decode(r)
+      }
+      case "video" => MediaContainers.parseMp4(r.payload) match {
+        // frames_sampled: the per-asset sampling plan (8 uniformly
+        // spaced frames) — actual frame extraction needs a codec
+        case Some(m) => MediaFeatures(r.doc_id, r.media_type,
+          r.payload.length, 0, 0, m.durationMs, 8, 0, 0, h)
+        case None => stub.decode(r)
+      }
+      case _ => stub.decode(r)
+    }
+  }
 }
 
 /** STUB: derives deterministic pseudo-features from the payload bytes.
@@ -73,6 +94,8 @@ final class StubDecoder extends MediaDecoder {
       duration_ms =
         if (r.media_type == "image") 0L else math.abs(h % 600000L),
       frames_sampled = if (r.media_type == "video") 8 else 1,
+      sample_rate = 0,
+      channels = 0,
       payload_hash = h)
   }
 }
@@ -111,13 +134,20 @@ object Multimodal {
           val h = 16 + ((i * 7) % 64).toInt
           if (i % 2 == 0) ImageHeaders.buildPng(w, h)
           else ImageHeaders.buildJpeg(w, h)
+        } else if (kind == "audio") {
+          // real WAV header + silence, duration/channels doc-derived
+          MediaContainers.buildWav(8000, 1 + (i % 2).toInt, 16,
+            10 + (i % 50))
         } else {
-          val len = 32 + (i % 256).toInt
-          Array.tabulate[Byte](len)(j => ((i * 31 + j) % 127).toByte)
+          // real MP4 ftyp+moov/mvhd, duration doc-derived
+          MediaContainers.buildMp4(1000L + (i % 60) * 250L)
         }
-      MediaRow(f"media-$i%08d", kind, payload,
-        Map("codec" -> (if (kind == "image")
-          (if (i % 2 == 0) "png" else "jpeg") else "opus")))
+      val codec = kind match {
+        case "image" => if (i % 2 == 0) "png" else "jpeg"
+        case "audio" => "wav"
+        case _       => "mp4"
+      }
+      MediaRow(f"media-$i%08d", kind, payload, Map("codec" -> codec))
     }
   }
 

@@ -260,6 +260,31 @@ class OpsSpec extends SparkSpec {
     assert(ImageHeaders.parse(Array.fill[Byte](64)(0x41)).isEmpty)
   }
 
+  test("media containers: real WAV/MP4 header parsing") {
+    import graft.ops.MediaContainers
+    import graft.ops.MediaContainers.{Mp4Info, WavInfo}
+
+    val wav = MediaContainers.buildWav(8000, 2, 16, 25)
+    assert(wav.length == 44 + 16 * 2 * 25) // header + byteRate·ms/1000
+    assert(MediaContainers.parseWav(wav)
+      .contains(WavInfo(8000, 2, 16, 25)))
+    // canonical RIFF layout: sample rate LE at offset 24
+    assert((wav(24) & 0xff) == 0x40 && (wav(25) & 0xff) == 0x1f) // 8000
+
+    val mp4 = MediaContainers.buildMp4(2750)
+    assert(mp4.length == 132)
+    assert(MediaContainers.parseMp4(mp4).contains(Mp4Info(1000, 2750)))
+    // non-1000 timescale: duration converts to ms
+    assert(MediaContainers.parseMp4(MediaContainers.buildMp4(2000, 600))
+      .contains(Mp4Info(600, 2000)))
+
+    // garbage and truncation parse to None, never throw
+    assert(MediaContainers.parseWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaContainers.parseWav(wav.take(40)).isEmpty)
+    assert(MediaContainers.parseMp4(mp4.take(20)).isEmpty)
+    assert(MediaContainers.parseMp4(Array.fill[Byte](64)(0x7f)).isEmpty)
+  }
+
   test("multimodal: stub decode plumbing preserves schema and batches") {
     val media = Multimodal.synthetic(spark, 300L, numPartitions = 4)
     val feats = Multimodal.extractFeatures(media)
