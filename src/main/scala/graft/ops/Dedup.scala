@@ -144,11 +144,11 @@ object Dedup {
         maxBucket)
       .select(
         F.col("id_a"), F.col("id_b"),
-        // count of EQUAL components (size() alone would count the whole
-        // 64-slot array, nulls included, and report 1.0 for every pair)
-        (F.size(F.filter(
-          F.zip_with(F.col("sig_a"), F.col("sig_b"), (a, b) => a === b),
-          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+        // count of EQUAL components via the codegen expression — the
+        // zip_with+filter formulation runs two interpreted lambdas and
+        // allocates a boolean array per candidate pair
+        (graft.functions.ArrayEqualCount(F.col("sig_a"), F.col("sig_b"))
+          .cast("double") / numHashes).as("est_jaccard"))
       .groupBy("id_a", "id_b")
       .agg(F.first("est_jaccard").as("est_jaccard"))
       .filter(F.col("est_jaccard") >= minJaccard)

@@ -175,6 +175,23 @@ class OpsSpec extends SparkSpec {
     assert(gotB == expected)
   }
 
+  test("ArrayEqualCount matches the zip_with formulation") {
+    import graft.functions.ArrayEqualCount
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)), // 3 equal
+      (Seq(1L, 2L), Seq(1L, 2L)),                 // 2 equal
+      (Seq.empty[Long], Seq.empty[Long]))         // 0
+      .toDF("a", "b")
+    val got = df.select(
+      ArrayEqualCount($"a", $"b").as("fast"),
+      F.size(F.filter(F.zip_with($"a", $"b", (x, y) => x === y),
+        e => e)).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // length mismatch → null, never a wrong count
+    val mism = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+    assert(mism.select(ArrayEqualCount($"a", $"b")).head().isNullAt(0))
+  }
+
   test("token counting: whitespace and subword") {
     val df = Seq(("a", "hello world  foo"), ("b", ""), ("c", "  "),
       ("d", "don't stop-me now2"))
