@@ -35,27 +35,37 @@ trait TableProvider {
 }
 
 /**
- * Hive-layout partitioned Parquet: `root/<col>=<value>/...parquet`,
- * single partition column (the `input_hint` table partitions by
- * `source`).
+ * Hive-layout partitioned Parquet: `root/<c1>=<v1>/<c2>=<v2>/...parquet`
+ * for any number of partition columns; partition names render
+ * `c1=v1/c2=v2` (the `input_hint` table partitions by `source` alone).
  */
 final class ParquetPartitionedTable(
     spark: SparkSession,
     root: String,
-    partitionCol: String)
+    cols: Seq[String])
     extends TableProvider {
+  require(cols.nonEmpty, "need at least one partition column")
 
-  override def partitionCols: Seq[String] = Seq(partitionCol)
+  def this(spark: SparkSession, root: String, partitionCol: String) =
+    this(spark, root, Seq(partitionCol))
+
+  override def partitionCols: Seq[String] = cols
 
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   override def partitions(): Seq[String] = {
-    val prefix = partitionCol + "="
-    fs.listStatus(new Path(root)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .map(_.getPath.getName)
-      .sorted
+    def walk(dir: Path, depth: Int): Seq[String] = {
+      val prefix = cols(depth) + "="
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .flatMap { s =>
+          val name = s.getPath.getName
+          if (depth == cols.size - 1) Seq(name)
+          else walk(s.getPath, depth + 1).map(sub => s"$name/$sub")
+        }
+    }
+    walk(new Path(root), 0).sorted
   }
 
   override def snapshotId(partition: String): String = {
@@ -70,10 +80,16 @@ final class ParquetPartitionedTable(
   }
 
   override def scan(parts: Seq[String]): DataFrame = {
-    val values = parts.map(_.stripPrefix(partitionCol + "="))
-    // isin on the partition column compiles to a static partition-pruning
-    // predicate — only the pending partitions' files are listed/read.
-    scanAll().filter(F.col(partitionCol).isin(values: _*))
+    // each partition name is c1=v1/c2=v2/...; the disjunction of
+    // per-partition conjunctions compiles to a static partition-pruning
+    // predicate — only the pending partitions' files are listed/read
+    val pred = parts.map { p =>
+      p.split("/").toSeq.map { seg =>
+        val Array(c, v) = seg.split("=", 2)
+        F.col(c) === F.lit(v)
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(F.lit(false))
+    scanAll().filter(pred)
   }
 
   override def scanAll(): DataFrame =

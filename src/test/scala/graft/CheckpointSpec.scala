@@ -118,6 +118,33 @@ class CheckpointSpec extends SparkSpec {
       .exists(_.getAs[String]("doc_id") == "dup-x"))
   }
 
+  test("multi-column partition specs: names, pruning, lineage") {
+    val base = Files.createTempDirectory("graft-cp6").toString
+    val rows = Seq(
+      ("a1", Seq(1), 1, "srcA", "2026-01-01"),
+      ("a2", Seq(2), 1, "srcA", "2026-01-02"),
+      ("b1", Seq(3), 1, "srcB", "2026-01-01"))
+      .toDF("doc_id", "tokens", "n_tok", "source", "day")
+    rows.write.partitionBy("source", "day").parquet(s"$base/data")
+    val table = new ParquetPartitionedTable(
+      spark, s"$base/data", Seq("source", "day"))
+    assert(table.partitions() == Seq(
+      "source=srcA/day=2026-01-01", "source=srcA/day=2026-01-02",
+      "source=srcB/day=2026-01-01"))
+    assert(table.scan(Seq("source=srcA/day=2026-01-02")).count() == 1)
+    assert(table.scan(Seq("source=srcA/day=2026-01-01",
+      "source=srcB/day=2026-01-01")).count() == 2)
+
+    val cp = new CheckpointStore(spark, s"$base/checkpoint")
+    val r1 = PartitionedRunner.run(table, suite, cp, "m1", maxPartitions = 2)
+    assert(r1.processed.size == 2)
+    val entries = cp.load().select("partition").as[String].collect().toSet
+    assert(entries == r1.processed.toSet) // col1=v1/col2=v2 names round-trip
+    val r2 = PartitionedRunner.run(table, suite, cp, "m2")
+    assert(r2.processed.size == 1)
+    assert(PartitionedRunner.run(table, suite, cp, "m3").processed.isEmpty)
+  }
+
   test("checkpoint entries carry lineage + metrics") {
     val base = Files.createTempDirectory("graft-cp4").toString
     val table = mkTable(s"$base/data")
