@@ -39,6 +39,59 @@ class PropertySpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("vector expressions: reference parity and invariances") {
+    import graft.functions.{CosineSim, DotProduct, HyperplaneBucket}
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(200) { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian()),
+        Array.fill(16)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select($"id",
+      DotProduct($"a", $"b").as("dot"),
+      CosineSim($"a", $"b").as("cab"),
+      CosineSim($"b", $"a").as("cba"),
+      CosineSim($"a", $"a").as("caa"),
+      CosineSim($"a", F.transform($"a", x => x * 2.5)).as("cas"),
+      HyperplaneBucket($"a", 16, 8, 42L).as("ha"),
+      HyperplaneBucket(F.transform($"a", x => x * 3.5), 16, 8, 42L)
+        .as("has"))
+      .collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    got.foreach { r =>
+      val (_, a, b) = byId(r.getLong(0))
+      val refDot = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(math.abs(r.getDouble(1) - refDot) < 1e-9)
+      assert(r.getDouble(2) == r.getDouble(3))          // symmetric
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12)   // bounded
+      assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)    // cos(a,a)=1
+      assert(math.abs(r.getDouble(5) - 1.0) < 1e-12)    // scale-invariant
+      assert(r.getLong(6) == r.getLong(7))              // bucket too
+    }
+  }
+
+  test("shingle hashes equal the xxhash64(concat_ws(slice)) formulation") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two three four five",
+      "one two", // shorter than k → one hash of the whole join
+      "single").zipWithIndex.map(_.swap)
+    val df = texts.toDF("id", "text")
+      .withColumn("w", F.split(F.trim(F.lower($"text")), "\\s+"))
+    val k = 3
+    val ref = F.when(F.size($"w") < k,
+        F.array(F.xxhash64(F.concat_ws(" ", $"w"))))
+      .otherwise(F.transform(
+        F.sequence(F.lit(1), F.size($"w") - (k - 1)),
+        i => F.xxhash64(F.concat_ws(" ", F.slice($"w", i, F.lit(k))))))
+    val got = df.select($"id",
+      graft.functions.ShingleHashes($"w", k).as("fast"), ref.as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.get(0)}")
+    }
+  }
+
   test("fast path and detail path agree on validity") {
     val ds = SequenceGen.generate(spark, 30000L, nSources = 4,
       numPartitions = 8).toDF()
