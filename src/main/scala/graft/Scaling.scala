@@ -184,12 +184,15 @@ object Scaling {
          |
          |Method: table materialized to parquet once (seed 42); ONE fresh
          |JVM per parallelism level (`sbt "runMain graft.Scaling measure
-         |<cpus>"`) so neither level inherits the other's JIT-compiled
-         |code; per level 2 warm-up passes then best of 5 timed passes
-         |(scan + validate + collect; DataFrame/file-index built once —
-         |the validate-many analogue of the reference's reusable compiled
-         |template); report assembled via
-         |`runMain graft.Scaling report <thr8> <thr32>`.
+         |<cpus> <rows> <reps>"`) so neither level inherits the other's
+         |JIT-compiled code; per level 2 warm-up passes then best of the
+         |timed passes (scan + validate + collect; DataFrame/file-index
+         |built once — the validate-many analogue of the reference's
+         |reusable compiled template); shuffle dirs on tmpfs when
+         |available (one shared virtual disk is the box's artifact, not
+         |the engine's); normalize against the pure-CPU control
+         |(`runMain graft.tools.CpuControl <cpus>`) at the SAME levels;
+         |report assembled via `runMain graft.Scaling report $lo $hi ...`.
          |Real-cluster reproduction: `spark-submit --class graft.Scaling
          |--num-executors {N,4N} ...` against the same generator output on
          |shared storage.
