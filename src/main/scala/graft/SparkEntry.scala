@@ -533,15 +533,20 @@ object SparkEntry {
     "d_minhash" ->
       s"""WITH $NearDupCorpusSql,
          |g AS (SELECT id,
-         |  list_distinct(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         |  list_distinct(list_transform(
+         |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
          |    ELSE list_transform(range(1, len(w) - 3),
-         |      i -> array_to_string(w[i:i+4], ' ')) END) AS grams
+         |      i -> array_to_string(w[i:i+4], ' ')) END,
+         |    s -> hash(s))) AS grams
          |  FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
          |        FROM corpus)),
          |j AS (SELECT a.id AS id_a, b.id AS id_b,
          |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
          |    / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
-         |  FROM g a, g b WHERE a.id < b.id)
+         |  FROM g a, g b WHERE a.id < b.id
+         |    -- sound prefilter: J >= 0.8 implies min/max set sizes >= 0.8
+         |    AND len(a.grams) >= 0.8 * len(b.grams)
+         |    AND len(b.grams) >= 0.8 * len(a.grams))
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
     "d_simhash" ->
