@@ -1,9 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 import graft.compile.CompiledSuite
+
+/** One streaming-dedup event: a record whose key was already seen. */
+final case class DupEvent(
+    key: String,
+    doc_id: String,
+    first_doc_id: String,
+    n_seen: Long)
 
 /**
  * Structured-Streaming face of the validator: the same compiled
@@ -44,6 +52,58 @@ object StreamValidator {
         F.col("_v.observed").as("observed"),
         F.col("_v.expected").as("expected"),
         F.col("_v.instance_path").as("instance_path"))
+  }
+
+  /** Streaming exact-dedup with CUSTOM STATE — the
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` face of the batch
+    * uniqueness check (C3): per key the state holds (first doc_id,
+    * count); every later arrival emits a [[DupEvent]] (first-seen wins,
+    * duplicates detected ACROSS micro-batches, which a per-batch
+    * `dropDuplicates` cannot do).
+    *
+    * `stateTtl`: processing-time timeout bounding the state — in a
+    * 10^12-key stream, unbounded first-seen state is the scale hazard;
+    * expired keys simply re-admit one representative, the same trade a
+    * TTL'd dedup cache makes. With a TTL the query schedules periodic
+    * timeout batches, so test harnesses calling `processAllAvailable`
+    * never see the stream drain — pass None there (and in genuinely
+    * bounded replays).
+    *
+    * Input: any frame with `keyCol` and `idCol` (e.g. the normalized
+    * content fingerprint and the doc id). Update mode sink. */
+  def dedupEvents(
+      stream: DataFrame, keyCol: String, idCol: String,
+      stateTtl: Option[String] = Some("1 hour")): Dataset[DupEvent] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val keyed = stream.select(
+        F.col(keyCol).cast("string").as("_k"),
+        F.col(idCol).cast("string").as("_id"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState[(String, Long), DupEvent](
+      org.apache.spark.sql.streaming.OutputMode.Update(),
+      stateTtl.fold(GroupStateTimeout.NoTimeout())(_ =>
+        GroupStateTimeout.ProcessingTimeTimeout())) {
+      case (key, rows, state: GroupState[(String, Long)]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val (first, seen) = state.getOption.getOrElse(("", 0L))
+          var firstId = first
+          var n = seen
+          val out = Seq.newBuilder[DupEvent]
+          rows.foreach { case (_, id) =>
+            n += 1
+            if (firstId.isEmpty) firstId = id
+            else out += DupEvent(key, id, firstId, n)
+          }
+          state.update((firstId, n))
+          stateTtl.foreach(state.setTimeoutDuration)
+          out.result().iterator
+        }
+    }
   }
 
   /** Windowed verdicts: per (event-time window × partition) validity,

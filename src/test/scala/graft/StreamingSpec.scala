@@ -44,6 +44,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful dedup: duplicates detected ACROSS micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)] // (fingerprint key, doc_id)
+    val q = // NoTimeout: a TTL schedules periodic timeout batches and
+      // processAllAvailable would never see the stream drain
+      StreamValidator.dedupEvents(mem.toDF(), "_1", "_2", stateTtl = None)
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(("k1", "d1"), ("k2", "d2"), ("k1", "d3")) // in-batch dup
+      q.processAllAvailable()
+      val b1 = spark.table("dedup_sink")
+        .selectExpr("key", "doc_id", "first_doc_id")
+        .as[(String, String, String)].collect().toSet
+      assert(b1 == Set(("k1", "d3", "d1")))
+
+      // next micro-batch: k1 again (cross-batch, state remembers d1),
+      // k3 fresh (no event)
+      mem.addData(("k1", "d4"), ("k3", "d5"))
+      q.processAllAvailable()
+      val all = spark.table("dedup_sink")
+        .selectExpr("key", "doc_id", "first_doc_id", "n_seen")
+        .as[(String, String, String, Long)].collect().toSet
+      assert(all.contains(("k1", "d4", "d1", 3L)))
+      assert(!all.exists(_._2 == "d5"))
+    } finally q.stop()
+  }
+
   test("windowed verdicts aggregate per event-time window and partition") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamEv]
