@@ -116,6 +116,24 @@ object SparkEntry {
       Validator.validate(ev, suite, Seq("w_start", "event_type"))
         .orderBy("w_start", "event_type")
     }),
+    "v_tokdrift" -> ((s, dir) => {
+      // token-histogram drift (C5b) bound to the documents table: the
+      // "token" stream is the word-length sequence of each text (a
+      // deterministic, SQL-reproducible element array), bucketed
+      // pmod(len, 8) — same PSI math as v_drift but over exploded
+      // array elements with map-side-combined counts.
+      import graft.checks.ArrayDriftCheck
+      val d = docs(s, dir).withColumn("wl",
+        F.transform(F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
+          w => F.length(w)))
+      ArrayDriftCheck("tokdrift", "wl", buckets = 8, metric = "psi",
+          threshold = 0.1, expected = "psi(word lengths) <= 0.1",
+          minCount = 1L)
+        .metrics(d, Seq("source"))
+        .select(F.concat(F.lit("source="), F.col("source")).as("partition"),
+          F.round(F.col("metric"), 6).as("psi"))
+        .orderBy("partition")
+    }),
     "v_tdigest" -> ((s, dir) => {
       // t-digest vs the EXACT quantiles, as oracle-checkable output:
       // the exact values (rounded) hash-compare against DuckDB's
@@ -521,6 +539,31 @@ object SparkEntry {
         |       WHEN s_it = GREATEST(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
         |       ELSE 'und' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "v_tokdrift" ->
+      """WITH h AS (
+        |  SELECT 'source=' || source AS p,
+        |    CAST(length(w) % 8 AS BIGINT) AS b, count(*) AS c
+        |  FROM (SELECT source,
+        |          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT p, SUM(c) AS t FROM h GROUP BY 1),
+        |g AS (SELECT b, SUM(c) AS gc FROM h GROUP BY 1),
+        |gt AS (SELECT SUM(c) AS t FROM h),
+        |grid AS (SELECT pt.p, bb.b FROM pt
+        |         CROSS JOIN (SELECT UNNEST(RANGE(8)) AS b) bb)
+        |SELECT grid.p AS partition, ROUND(SUM(
+        |  ((COALESCE(h.c,0) + 1e-6)/(CAST(pt.t AS DOUBLE) + 8e-6)
+        |   - (COALESCE(g.gc,0) + 1e-6)/(CAST(gt.t AS DOUBLE) + 8e-6))
+        |  * LN( ((COALESCE(h.c,0) + 1e-6)/(CAST(pt.t AS DOUBLE) + 8e-6))
+        |      / ((COALESCE(g.gc,0) + 1e-6)/(CAST(gt.t AS DOUBLE) + 8e-6)) )
+        |), 6) AS psi
+        |FROM grid
+        |LEFT JOIN h ON h.p = grid.p AND h.b = grid.b
+        |JOIN pt ON pt.p = grid.p
+        |LEFT JOIN g ON g.b = grid.b
+        |CROSS JOIN gt
+        |GROUP BY grid.p ORDER BY partition""".stripMargin,
     "v_tdigest" ->
       """WITH q AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
         |    [0.25, 0.5, 0.75, 0.95, 0.99]) AS l FROM documents)

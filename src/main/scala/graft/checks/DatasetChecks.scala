@@ -164,29 +164,97 @@ final case class DriftCheck(
 
   /** The per-partition divergence values `(partitionCols..., metric)` —
     * the inspectable face of the check (all partitions above the
-    * support floor).
-    *
-    * SINGLE-LINEAGE construction — the 100 TB property that matters:
-    * the input is scanned ONCE into the per-(partition, bucket)
-    * histogram; everything after (per-partition totals, the dense
-    * bucket grid, global per-bucket counts, the grand total) derives
-    * from that tiny aggregate via collect_list/explode and window sums,
-    * never by re-joining plans that re-reference the input. (DataFrame
-    * reuse does not dedupe scans — a parts/global/grid self-join shape
-    * re-scans the table up to 3×, observed live in the AQE plan.) */
+    * support floor). One pass builds the scalar histogram; the
+    * divergence math is shared with [[ArrayDriftCheck]] via
+    * [[DriftMath.divergence]]. */
   def metrics(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(partitionCols.nonEmpty, s"drift check '$id' needs partitionCols")
     val width = (hi - lo) / buckets
     val pcols = partitionCols.map(F.col)
     val bucket = F.least(F.lit(buckets - 1), F.greatest(F.lit(0),
       F.floor((F.col(col).cast("double") - lo) / width))).as("_b")
-
-    // the ONE pass over the input
     val hist = df.filter(F.col(col).isNotNull)
       .select(pcols :+ bucket: _*)
       .groupBy((pcols :+ F.col("_b")): _*)
       .agg(F.count(F.lit(1)).as("_c"))
+    DriftMath.divergence(hist, partitionCols, buckets, metric, minRows)
+  }
+}
+
+/**
+ * C5b — TOKEN-HISTOGRAM drift (the north star's second drift target):
+ * the distribution of array ELEMENTS (token ids bucketed by
+ * `pmod(token, buckets)`) per partition vs globally, same PSI/KL math
+ * as [[DriftCheck]]. The heavy step is one explode → partial-aggregated
+ * count: the shuffle after map-side combine carries only
+ * (partitions × buckets) rows no matter how many tokens were exploded —
+ * the scale-safe shape for 10^12 × n_tok elements. `minCount` is the
+ * support floor in ELEMENTS.
+ */
+final case class ArrayDriftCheck(
+    id: String, col: String, buckets: Int,
+    metric: String, threshold: Double, expected: String,
+    minCount: Long = 100L)
+    extends DatasetCheck {
+  require(metric == "psi" || metric == "kl", s"unknown drift metric $metric")
+
+  private def partKeyCol(partitionCols: Seq[String]): Column =
+    F.concat_ws("/", partitionCols.map(p =>
+      F.concat(F.lit(p + "="), F.col(p).cast("string"))): _*)
+
+  def violations(df: DataFrame, idCol: String, partitionCols: Seq[String],
+      dims: Map[String, DataFrame]): DataFrame =
+    metrics(df, partitionCols)
+      .filter(F.col("metric") > threshold)
+      .select(
+        partKeyCol(partitionCols).as("doc_id"),
+        F.lit(id).as("constraint_id"),
+        F.concat(F.lit(metric + "="), F.round(F.col("metric"), 6)
+          .cast("string")).as("observed"),
+        F.lit(expected).as("expected"),
+        F.lit("/" + col.replace(".", "/")).as("instance_path"))
+
+  override def violationCountsByPartition(
+      df: DataFrame, idCol: String, partitionCols: Seq[String],
+      dims: Map[String, DataFrame]): Option[DataFrame] =
+    if (partitionCols.isEmpty) None
+    else Some(metrics(df, partitionCols)
+      .filter(F.col("metric") > threshold)
+      .select(partitionCols.map(F.col) :+ F.lit(1L).as("_n_ds_viol"): _*))
+
+  def metrics(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty,
+      s"array drift check '$id' needs partitionCols")
+    val pcols = partitionCols.map(F.col)
+    val hist = df.filter(F.col(col).isNotNull)
+      .select(pcols :+ F.explode(F.col(col)).as("_e"): _*)
+      .filter(F.col("_e").isNotNull)
+      .select(pcols :+
+        F.pmod(F.col("_e").cast("long"), F.lit(buckets.toLong)).as("_b"): _*)
+      .groupBy((pcols :+ F.col("_b")): _*)
+      .agg(F.count(F.lit(1)).as("_c"))
+    DriftMath.divergence(hist, partitionCols, buckets, metric, minCount)
+  }
+}
+
+/**
+ * Shared PSI/KL divergence over a per-(partition, bucket) count
+ * histogram `(partitionCols..., _b, _c)`.
+ *
+ * SINGLE-LINEAGE construction — the 100 TB property that matters: the
+ * input is scanned ONCE into the histogram; everything after
+ * (per-partition totals, the dense bucket grid, global per-bucket
+ * counts, the grand total) derives from that tiny aggregate via
+ * collect_list/explode and window sums, never by re-joining plans that
+ * re-reference the input. (DataFrame reuse does not dedupe scans — a
+ * parts/global/grid self-join shape re-scans the table up to 3×,
+ * observed live in the AQE plan.)
+ */
+private[checks] object DriftMath {
+  def divergence(hist: DataFrame, partitionCols: Seq[String],
+      buckets: Int, metric: String, minTotal: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pcols = partitionCols.map(F.col)
 
     // one row per partition: bucket→count map + total (≤ buckets entries)
     val perPart = hist.groupBy(pcols: _*).agg(
@@ -222,7 +290,7 @@ final case class DriftCheck(
       .groupBy(pcols: _*)
       .agg(F.sum("_t").as("metric"), F.first("_pt").as("_pt"))
       // partitions below the support floor cannot evidence drift
-      .filter(F.col("_pt") >= minRows)
+      .filter(F.col("_pt") >= minTotal)
       .drop("_pt")
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.{functions => F}
 import graft.dsl.{Constraint, ConstraintSuite, ConstraintJson}
 import graft.dsl.Constraint._
 import graft.registry.ConstraintRegistry
-import graft.checks.{DatasetCheck, UniqueCheck, RefIntegrityCheck, DriftCheck}
+import graft.checks.{ArrayDriftCheck, DatasetCheck, DriftCheck, RefIntegrityCheck, UniqueCheck}
 
 /** One compiled row-local constraint: a boolean Catalyst predicate plus the
   * expressions that populate a violation row — the analogue of one compiled
@@ -245,8 +245,8 @@ object ConstraintCompiler {
   }
 
   private def isRowLocal(c: Constraint): Boolean = c match {
-    case _: Unique | _: RefIntegrity | _: NoDrift => false
-    case _                                        => true
+    case _: Unique | _: RefIntegrity | _: NoDrift | _: NoArrayDrift => false
+    case _                                                          => true
   }
 
   // ------------------------------------------------------------------
@@ -462,7 +462,7 @@ object ConstraintCompiler {
 
     case _: Ref =>
       throw new CompileException("unresolved Ref survived resolution")
-    case _: Unique | _: RefIntegrity | _: NoDrift =>
+    case _: Unique | _: RefIntegrity | _: NoDrift | _: NoArrayDrift =>
       throw new CompileException(
         s"dataset-level constraint '${c.id}' cannot be row-lowered")
   }
@@ -671,6 +671,7 @@ object ConstraintCompiler {
     case Unique(_, col)   => s"$col unique across dataset"
     case RefIntegrity(_, col, dn, dc) => s"$col exists in $dn.$dc"
     case NoDrift(_, col, _, _, _, m, t, _) => s"$m($col) <= $t"
+    case NoArrayDrift(_, col, _, m, t, _) => s"$m(elements of $col) <= $t"
   }
 
   // ------------------------------------------------------------------
@@ -684,6 +685,9 @@ object ConstraintCompiler {
     case d: NoDrift =>
       DriftCheck(d.id, d.col, d.lo, d.hi, d.buckets, d.metric, d.threshold,
         expectedOf(d), d.minRows)
+    case d: NoArrayDrift =>
+      ArrayDriftCheck(d.id, d.col, d.buckets, d.metric, d.threshold,
+        expectedOf(d), d.minCount)
     case other =>
       throw new CompileException(s"not a dataset-level constraint: $other")
   }

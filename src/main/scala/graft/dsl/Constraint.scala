@@ -268,6 +268,20 @@ object Constraint {
       minRows: Long = 100L)
       extends Constraint
 
+  /** Token-histogram drift (C5b): the distribution of ARRAY ELEMENTS of
+    * `col` (bucketed `pmod(element, buckets)`) per partition vs the
+    * global distribution, PSI/KL like [[NoDrift]]. The north star's
+    * second drift target ("n_tok AND token histograms"). `minCount` is
+    * the per-partition support floor in elements. */
+  final case class NoArrayDrift(
+      id: String,
+      col: String,
+      buckets: Int,
+      metric: String,
+      threshold: Double,
+      minCount: Long = 100L)
+      extends Constraint
+
   /** Walk the tree depth-first (combinators included). */
   def walk(c: Constraint)(f: Constraint => Unit): Unit = {
     f(c)

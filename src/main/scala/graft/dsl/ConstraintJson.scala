@@ -119,6 +119,12 @@ object ConstraintJson {
           n.get("threshold").asDouble(),
           Option(n.get("minRows")).filterNot(_.isNull).map(_.asLong())
             .getOrElse(100L))
+      case "noArrayDrift" =>
+        NoArrayDrift(id, str(n, "col"),
+          int(n, "buckets").getOrElse(64), str(n, "metric"),
+          n.get("threshold").asDouble(),
+          Option(n.get("minCount")).filterNot(_.isNull).map(_.asLong())
+            .getOrElse(100L))
       case other =>
         throw new ConstraintParseException(s"unknown constraint kind: $other")
     }
@@ -228,6 +234,10 @@ object ConstraintJson {
         o.put("kind", "noDrift").put("col", col).put("lo", lo).put("hi", hi)
           .put("buckets", b).put("metric", m).put("threshold", t)
           .put("minRows", mr)
+      case NoArrayDrift(_, col, b, m, t, mc) =>
+        o.put("kind", "noArrayDrift").put("col", col)
+          .put("buckets", b).put("metric", m).put("threshold", t)
+          .put("minCount", mc)
     }
     o
   }

@@ -249,6 +249,32 @@ class ValidatorSpec extends SparkSpec {
     assert(drifted == Set("source=src0"))
   }
 
+  test("dataset checks: token-histogram drift flags the skewed partition") {
+    // srcA/srcB: token ids uniform over the bucket space; srcC (a 10%
+    // minority, so the global baseline stays near-uniform): every token
+    // lands in one bucket — maximal element-distribution drift
+    val rows = (0 until 300).map { i =>
+      val src = if (i % 10 == 0) "srcC"
+                else if (i % 2 == 0) "srcA" else "srcB"
+      val toks =
+        if (src == "srcC") Seq.fill(20)(7)
+        else Seq.tabulate(20)(j => (i * 7 + j * 13) % 64)
+      (s"d$i", toks, toks.size, src)
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+    val suite = ConstraintCompiler.compile(ConstraintSuite("td",
+      Seq(NoArrayDrift("tok_drift", "tokens", buckets = 16,
+        metric = "psi", threshold = 0.5, minCount = 10))))
+    val rep = Validator.validateWithDetails(rows, suite, Seq("source"))
+    val drifted = rep.violations
+      .filter($"constraint_id" === "tok_drift")
+      .select("doc_id").as[String].collect().toSet
+    assert(drifted == Set("source=srcC"))
+    // verdicts attribute the drift to the right partition
+    val bad = rep.verdicts.filter(!$"valid")
+      .select("source").as[String].collect().toSet
+    assert(bad == Set("srcC"))
+  }
+
   test("map-column object keywords: keysIn / keyCountBounds / eachKey") {
     val df = Seq(
       ("a", Map("codec" -> "png", "w" -> "64")),
