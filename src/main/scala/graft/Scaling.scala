@@ -69,8 +69,15 @@ object Scaling {
           (names.contains("drift") && c.isInstanceOf[C.NoDrift])
       case _ => _ => false
     }
+    // "withtokens": the full suite PLUS token-histogram drift — priced
+    // separately because exploding every token dominates the pass
+    val constraints =
+      (if (mode == "withtokens")
+         benchSuite.constraints :+ C.NoArrayDrift("token_hist_stable",
+           "tokens", 64, "psi", 0.2, 1000L)
+       else benchSuite.constraints).filterNot(dropped)
     val suite = ConstraintCompiler.compile(
-      ConstraintSuite(benchSuite.id, benchSuite.constraints.filterNot(dropped)))
+      ConstraintSuite(benchSuite.id, constraints))
     // DataFrame (and its file index) built once, outside the timed loop —
     // the validate-many analogue of the reference's reusable compiled
     // template; file listing is a constant driver cost at any cluster

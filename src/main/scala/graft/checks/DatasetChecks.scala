@@ -226,13 +226,26 @@ final case class ArrayDriftCheck(
     require(partitionCols.nonEmpty,
       s"array drift check '$id' needs partitionCols")
     val pcols = partitionCols.map(F.col)
-    val hist = df.filter(F.col(col).isNotNull)
-      .select(pcols :+ F.explode(F.col(col)).as("_e"): _*)
-      .filter(F.col("_e").isNotNull)
+    // per-row bucket counts in ONE codegen pass (no per-element rows —
+    // the element-explode shape is allocation-bound and stops scaling
+    // with cores), then `buckets` declarative sum() columns: the whole
+    // reduction stays inside whole-stage-codegen HashAggregate with
+    // map-side combine (an object-typed array-sum aggregate was tried
+    // and boxes every row). Only the per-PARTITION sums are unpivoted
+    // into (partition, bucket, count) rows.
+    val bc = df.filter(F.col(col).isNotNull)
       .select(pcols :+
-        F.pmod(F.col("_e").cast("long"), F.lit(buckets.toLong)).as("_b"): _*)
-      .groupBy((pcols :+ F.col("_b")): _*)
-      .agg(F.count(F.lit(1)).as("_c"))
+        graft.functions.BucketCounts(F.col(col), buckets).as("_bc"): _*)
+    val sums = (0 until buckets).map(i =>
+      F.sum(F.element_at(F.col("_bc"), i + 1)).as(s"_s$i"))
+    val summed = bc.groupBy(pcols: _*).agg(sums.head, sums.tail: _*)
+    val hist = summed
+      .select(pcols :+ F.posexplode(F.array(
+        (0 until buckets).map(i => F.col(s"_s$i")): _*))
+        .as(Seq("_b", "_c")): _*)
+      .select(pcols ++ Seq(F.col("_b").cast("long").as("_b"),
+        F.col("_c")): _*)
+      .filter(F.col("_c") > 0) // absent buckets re-densify in the grid
     DriftMath.divergence(hist, partitionCols, buckets, metric, minCount)
   }
 }

@@ -34,7 +34,10 @@ object Demo {
       |     "dimName": "sources", "dimCol": "source"},
       |    {"kind": "noDrift", "id": "n_tok_stable", "col": "n_tok",
       |     "lo": 0, "hi": 2048, "buckets": 32, "metric": "psi",
-      |     "threshold": 0.4}
+      |     "threshold": 0.4},
+      |    {"kind": "noArrayDrift", "id": "token_hist_stable",
+      |     "col": "tokens", "buckets": 64, "metric": "psi",
+      |     "threshold": 0.2, "minCount": 1000}
       |  ]
       |}""".stripMargin
 
