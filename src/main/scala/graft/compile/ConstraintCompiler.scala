@@ -482,6 +482,25 @@ object ConstraintCompiler {
     case "ipv4" =>
       v.rlike("^((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\.){3}" +
         "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)$")
+    case "ipv6" =>
+      // full/compressed hex groups incl. "::"; no embedded-IPv4 forms
+      v.rlike("^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|" +
+        "(([0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4})?::" +
+        "(([0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4})?)$")
+    case "hostname" =>
+      v.rlike("^(?=.{1,253}$)([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)" +
+        "(\\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$")
+    case "time" =>
+      v.rlike("^([01]\\d|2[0-3]):[0-5]\\d:([0-5]\\d|60)(\\.\\d+)?" +
+        "([Zz]|[+-]([01]\\d|2[0-3]):[0-5]\\d)$")
+    case "json-pointer" =>
+      // RFC 6901: empty, or /-prefixed tokens; ~ only as ~0 / ~1
+      v.rlike("^(/([^/~]|~[01])*)*$") && !v.rlike("~(?![01])")
+    case "duration" =>
+      // ISO-8601 duration, at least one component after P
+      v.rlike("^P(\\d+Y)?(\\d+M)?(\\d+W)?(\\d+D)?" +
+        "(T(\\d+H)?(\\d+M)?(\\d+(\\.\\d+)?S)?)?$") &&
+        v.rlike("^P.*[YMWDHS]")
     case other =>
       throw new CompileException(s"unsupported strict format: $other")
   }

@@ -77,7 +77,8 @@ object Constraint {
   /** `format` (Draft2020Runner.java:78). Annotation-only unless
     * `strict` — matching the reference's default where format does not
     * affect validity (`DetailedValidationTest.java:287`). Strict formats
-    * supported: `date`, `date-time`, `email`, `uuid`, `uri`, `ipv4`. */
+    * supported: `date`, `date-time`, `time`, `duration`, `email`,
+    * `uuid`, `uri`, `ipv4`, `ipv6`, `hostname`, `json-pointer`. */
   final case class FormatIs(
       id: String, col: String, format: String, strict: Boolean = false)
       extends Constraint

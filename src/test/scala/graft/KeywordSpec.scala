@@ -155,6 +155,27 @@ class KeywordSpec extends SparkSpec {
       ("d2", "tok", "/tokens/1"))) // FIRST failing index (0-based)
   }
 
+  test("strict formats: ipv6 / hostname / time / json-pointer / duration") {
+    def ok(fmt: String, value: String): Boolean = {
+      val df = Seq(Tuple1(value)).toDF("v")
+      val suite = ConstraintCompiler.compile(ConstraintSuite("f", Seq(
+        FormatIs("fc", "v", fmt, strict = true))))
+      df.select(suite.rowPredicate.as("ok")).head().getBoolean(0)
+    }
+    assert(ok("ipv6", "2001:db8:85a3:0:0:8a2e:370:7334"))
+    assert(ok("ipv6", "::1") && ok("ipv6", "fe80::1"))
+    assert(!ok("ipv6", "2001:db8::85a3::1") && !ok("ipv6", "12345::"))
+    assert(ok("hostname", "example.com") && ok("hostname", "a-b.c2"))
+    assert(!ok("hostname", "-bad.com") && !ok("hostname", "a..b"))
+    assert(ok("time", "23:59:60Z") && ok("time", "08:30:06.283185+05:00"))
+    assert(!ok("time", "24:00:00Z") && !ok("time", "08:30:06"))
+    assert(ok("json-pointer", "") && ok("json-pointer", "/foo/0/~0~1"))
+    assert(!ok("json-pointer", "foo") && !ok("json-pointer", "/foo/~2"))
+    assert(ok("duration", "P1Y2M3DT4H5M6S") && ok("duration", "PT0.5S"))
+    assert(!ok("duration", "P") && !ok("duration", "PT") &&
+      !ok("duration", "1D"))
+  }
+
   test("new keywords round-trip through JSON") {
     val suite = ConstraintSuite("rt", Seq(
       PropertyValues("pv", "attrs", "note",
