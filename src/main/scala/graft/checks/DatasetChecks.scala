@@ -337,4 +337,35 @@ object ColumnStats {
     if (partitionCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(partitionCols.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** [[profile]] plus mergeable t-digest quantile sketches for the named
+    * numeric columns — the north star's "n_tok distribution via t-digest
+    * sketches" fused into the SAME single aggregation pass (one scan,
+    * one shuffle; the sketch is a mergeable aggregate, so map-side
+    * partial aggregation applies like any other agg). Adds one
+    * `<col>_q` array column per requested column, ordered like `probs`. */
+  def profileWithQuantiles(
+      df: DataFrame, partitionCols: Seq[String],
+      quantileCols: Seq[String],
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95, 0.99)): DataFrame = {
+    val td = graft.sketch.TDigestQuantiles(probs)
+    val aggs: Seq[Column] = F.count(F.lit(1)).as("n_rows") +:
+      (df.schema.fields.filterNot(f => partitionCols.contains(f.name))
+        .flatMap { f =>
+          val c = F.col(f.name)
+          val base = Seq(
+            F.sum(F.when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}_nulls"))
+          f.dataType match {
+            case _: NumericType => base ++ Seq(
+              F.min(c).as(s"${f.name}_min"),
+              F.max(c).as(s"${f.name}_max"),
+              F.avg(c).as(s"${f.name}_avg"))
+            case _ => base
+          }
+        }.toSeq ++
+        quantileCols.map(qc =>
+          td.column(F.col(qc).cast("double")).as(s"${qc}_q")))
+    if (partitionCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(partitionCols.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -44,6 +44,22 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == "d4" || p._2 == "d4"))
   }
 
+  test("degenerate bucket: 10k identical docs stay LINEAR (star pairs)") {
+    // boilerplate-heavy corpora collapse many docs into one LSH bucket;
+    // uncapped all-pairs would be ~50M rows here — the cap must route
+    // oversized buckets to star pairs around the representative
+    val n = 10000
+    val boiler = spark.range(n).selectExpr(
+      "concat('doc-', format_string('%05d', id)) as id",
+      "'exactly the same boilerplate text repeated in every document of this corpus' as text")
+    val pairs = Dedup.minhashCandidates(boiler, "id", "text",
+      numHashes = 64, bands = 16, minJaccard = 0.5, maxBucket = 256)
+    val cnt = pairs.count()
+    // star shape: every doc pairs with the min-id representative once
+    assert(cnt == (n - 1).toLong, s"expected linear output, got $cnt")
+    assert(pairs.filter($"id_a" === "doc-00000").count() == (n - 1).toLong)
+  }
+
   test("ngram jaccard verifies candidates exactly") {
     val pairs = Seq(("d1", "d2"), ("d1", "d3"), ("d1", "d4"))
       .toDF("id_a", "id_b")

@@ -53,6 +53,31 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(got(1) - exact(1)) / 10000.0 < 0.01)
   }
 
+  test("profileWithQuantiles: sketches fused into the single stats pass") {
+    import org.apache.spark.sql.{functions => F}
+    val ds = graft.gen.SequenceGen.generate(spark, 20000L, nSources = 4,
+      numPartitions = 8).toDF()
+    val prof = graft.checks.ColumnStats.profileWithQuantiles(
+      ds, Seq("source"), Seq("n_tok"))
+    val rows = prof.select("source", "n_rows", "n_tok_q").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qs = r.getSeq[Double](2)
+      assert(qs.length == 5)
+      assert(qs == qs.sorted) // monotone in q
+    }
+    // per-partition median tracks the exact one within 5%
+    val exact = ds.groupBy("source")
+      .agg(F.expr("percentile(CAST(n_tok AS DOUBLE), 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.filter(_.getLong(1) > 1000).foreach { r =>
+      val med = r.getSeq[Double](2)(1)
+      val ex = exact(r.getString(0))
+      assert(math.abs(med - ex) <= math.max(0.05 * ex, 2.0),
+        s"source=${r.getString(0)} med=$med exact=$ex")
+    }
+  }
+
   test("property: quantile estimates are monotone in q and within range") {
     val gen = Gen.listOfN(500, Gen.chooseNum(-1e6, 1e6))
     (1L to 20L).foreach { s =>
