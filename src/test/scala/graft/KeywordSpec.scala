@@ -122,6 +122,18 @@ class KeywordSpec extends SparkSpec {
       .filter(!F.col("ok")).select("doc_id").as[String].collect().toSet
     assert(bad2 == Set("r3"))
 
+    // nested refs across suites: mid → base, compiled transitively
+    reg.register("base", ConstraintSuite("base", Seq(
+      Bounds("nonneg", "n", Some(0), None))))
+    reg.register("mid", ConstraintSuite("mid", Seq(
+      Ref("useBase", "base"),
+      Bounds("cap", "n", None, Some(10)))))
+    val nested = ConstraintCompiler.compile(ConstraintSuite("s5", Seq(
+      Ref("useMid", "mid"))), reg)
+    val bad3 = df.withColumn("ok", nested.rowPredicate)
+      .filter(!F.col("ok")).select("doc_id").as[String].collect().toSet
+    assert(bad3 == Set("r2", "r3")) // both suites' constraints apply
+
     // unresolved fragment → descriptive compile error
     val e = intercept[ConstraintCompiler.CompileException] {
       ConstraintCompiler.compile(ConstraintSuite("s3", Seq(
