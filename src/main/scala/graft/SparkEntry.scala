@@ -242,6 +242,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "d_decontam" -> ((s, dir) => {
+      // benchmark decontamination: docs 0-19 play the eval set; the
+      // corpus (docs + suffix variants) is scanned for k=8 shingle
+      // overlap — broadcast benchmark-shingle join, per-doc hit counts.
+      // DuckDB re-derives the same evidence by exact intersection.
+      val corpus = nearDupCorpus(s, dir)
+      val bench = docs(s, dir).filter(F.col("doc_id") < 20)
+        .select(F.col("text"))
+      graft.ops.Decontaminate.contaminationHits(
+          corpus, "doc_id", "text", bench, "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search -------------------------------------------
     "s_knn_brute" -> ((s, dir) => {
       val e = table(s, dir, "embeddings").select(
@@ -605,6 +618,30 @@ object SparkEntry {
          |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS INTEGER) AS hamming
          |FROM c a, c b WHERE a.id < b.id AND a.fp = b.fp
          |ORDER BY id_a, id_b""".stripMargin,
+    "d_decontam" ->
+      s"""WITH $NearDupCorpusSql,
+         |cg AS (SELECT id, list_distinct(
+         |    CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+         |    ELSE list_transform(range(1, len(w) - 6),
+         |      i -> array_to_string(w[i:i+7], ' ')) END) AS grams
+         |  FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+         |        FROM corpus)),
+         |bg AS (SELECT list_distinct(
+         |    CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+         |    ELSE list_transform(range(1, len(w) - 6),
+         |      i -> array_to_string(w[i:i+7], ' ')) END) AS grams
+         |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+         |        FROM documents WHERE doc_id < 20)),
+         |bset AS (SELECT list(DISTINCT sh) AS bl
+         |         FROM (SELECT unnest(grams) AS sh FROM bg))
+         |SELECT id AS doc_id,
+         |  CAST(len(list_intersect(grams, bl)) AS BIGINT) AS n_hits,
+         |  CAST(len(grams) AS INTEGER) AS n_grams,
+         |  ROUND(CAST(len(list_intersect(grams, bl)) AS DOUBLE)
+         |    / len(grams), 6) AS contained_frac
+         |FROM cg CROSS JOIN bset
+         |WHERE len(list_intersect(grams, bl)) >= 1
+         |ORDER BY doc_id""".stripMargin,
     "d_embed" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings WHERE vec_id < 200),

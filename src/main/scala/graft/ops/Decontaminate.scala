@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Benchmark decontamination — flag training documents that share k-word
+ * shingles with an evaluation/benchmark corpus (the standard
+ * "n-gram overlap" leak check run before training).
+ *
+ * Scale shape (10^12-doc corpus vs a small benchmark set): the
+ * benchmark's distinct shingle hashes are a SMALL table (millions of
+ * longs), broadcast to every task; the corpus side explodes its
+ * distinct shingles once and counts join hits per document — one scan,
+ * one broadcast hash join, one partial-aggregated groupBy(doc). No
+ * all-pairs anything; the corpus text never moves.
+ */
+object Decontaminate {
+
+  /** Distinct shingle hashes of the benchmark corpus (the broadcast
+    * side). k must match the corpus-side shingling. */
+  def benchmarkShingles(
+      bench: DataFrame, textCol: String, k: Int): DataFrame =
+    bench.select(F.explode(F.array_distinct(
+        TextAnalysis.shingleHashes(F.col(textCol), k))).as("_sh"))
+      .distinct()
+
+  /** Per-document contamination evidence: the number of the document's
+    * DISTINCT k-shingles that appear anywhere in the benchmark set,
+    * plus the document's total distinct shingle count (so callers can
+    * threshold on absolute hits or on the contained fraction). Only
+    * documents with ≥ 1 hit are returned. */
+  def contaminationHits(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 8): DataFrame = {
+    val benchSh = benchmarkShingles(bench, benchTextCol, k)
+    val docSh = docs.select(
+      F.col(idCol).cast("string").as("doc_id"),
+      F.array_distinct(TextAnalysis.shingleHashes(F.col(textCol), k))
+        .as("_grams"))
+    docSh
+      .select(F.col("doc_id"), F.size(F.col("_grams")).as("n_grams"),
+        F.explode(F.col("_grams")).as("_sh"))
+      .join(F.broadcast(benchSh), Seq("_sh"))
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_hits"),
+        F.first("n_grams").as("n_grams"))
+      .select(F.col("doc_id"), F.col("n_hits"), F.col("n_grams"),
+        F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6)
+          .as("contained_frac"))
+  }
+}

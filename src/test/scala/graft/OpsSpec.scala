@@ -60,6 +60,22 @@ class OpsSpec extends SparkSpec {
     assert(pairs.filter($"id_a" === "doc-00000").count() == (n - 1).toLong)
   }
 
+  test("decontamination: shingle overlap with a benchmark set") {
+    import graft.ops.Decontaminate
+    val bench = Seq(Tuple1(
+      "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("text")
+    val hits = Decontaminate.contaminationHits(
+        docs, "id", "text", bench, "text", k = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getDouble(3))).toMap
+    // exact copies are fully contained
+    assert(hits("d1")._3 == 1.0 && hits("d2")._3 == 1.0)
+    assert(hits("d5")._3 > 0.8) // formatting dup: most shingles shared
+    assert(hits("d3")._3 > 0.5 && hits("d3")._3 < 1.0) // near dup
+    assert(!hits.contains("d4")) // unrelated: zero hits, not emitted
+  }
+
   test("ngram jaccard verifies candidates exactly") {
     val pairs = Seq(("d1", "d2"), ("d1", "d3"), ("d1", "d4"))
       .toDF("id_a", "id_b")
