@@ -9,7 +9,7 @@ import graft.ops.Multimodal
 /**
  * Multimodal pipeline sample: a binary-payload media table is validated
  * with the map-column object keywords (the `*Properties` family bound to
- * the `meta` map), then decoded (stub codec, real batching) into typed
+ * the `meta` map), then decoded (real header parsers (PNG/JPEG/WAV/MP4), per-task batch decode) into typed
  * features. Run: `sbt "runMain graft.tools.MediaDemo"`.
  */
 object MediaDemo {
@@ -54,7 +54,7 @@ object MediaDemo {
     strictViol.show(3, truncate = false)
     println(s"strict violations: ${strictViol.count()}")
 
-    println("== decoded feature stats (stub codec, real batching) ==")
+    println("== decoded feature stats (real header parsers (PNG/JPEG/WAV/MP4), per-task batch decode) ==")
     Multimodal.featureStats(
       Multimodal.extractFeatures(media)).orderBy("media_type")
       .show(5, truncate = false)
