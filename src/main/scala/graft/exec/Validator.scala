@@ -87,7 +87,12 @@ object Validator {
             F.coalesce(c.observed.cast("string"), F.lit("null"))
               .as("observed"),
             F.lit(c.expected).as("expected"),
-            F.coalesce(c.instancePath, F.lit("/")).as("instance_path"))
+            // instance_path can re-scan an array to find the first
+            // failing index — `when` branches are lazy in codegen, so
+            // pay that only on rows that actually failed the check
+            F.when(F.coalesce(c.pred, F.lit(false)), F.lit("/"))
+              .otherwise(F.coalesce(c.instancePath, F.lit("/")))
+              .as("instance_path"))
         }: _*)
         df.select(
             F.col(idCol).cast("string").as("doc_id"),

@@ -41,7 +41,10 @@ object StreamValidator {
         c.pred.as("ok"),
         F.coalesce(c.observed.cast("string"), F.lit("null")).as("observed"),
         F.lit(c.expected).as("expected"),
-        F.coalesce(c.instancePath, F.lit("/")).as("instance_path"))
+        // lazily computed only on failing rows (see batch detail path)
+        F.when(F.coalesce(c.pred, F.lit(false)), F.lit("/"))
+          .otherwise(F.coalesce(c.instancePath, F.lit("/")))
+          .as("instance_path"))
     }: _*)
     stream.select(
         F.col(idCol).cast("string").as("doc_id"),
