@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.ops.{Dedup, TextAnalysis}
+
+/**
+ * Dedup-pipeline throughput probe: a seeded synthetic text corpus with
+ * planted near-duplicates, timed through exact / MinHash+LSH / SimHash
+ * dedup end-to-end. Prints one JSON line (docs/sec per stage).
+ * Run: `sbt "runMain graft.tools.DedupBench [nDocs] [cpus]"`.
+ *
+ * Corpus shape: ~120-word documents from a 50k-word synthetic
+ * vocabulary; every 10th document is a near-duplicate of its
+ * predecessor (3 words appended) — so candidate volume stays realistic
+ * (~10% dup rate) rather than degenerate.
+ */
+object DedupBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
+    val cpus = args.lift(1).getOrElse("32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-dedup-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
+      .config("spark.local.dir", graft.Scaling.localDir)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // deterministic corpus, materialized to parquet so the timings
+    // measure the dedup pipelines, not the generator
+    val dir = s"/tmp/graft_dedup_bench/docs=$nDocs"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+      spark.range(0L, nDocs, 1L, 64).map { boxed =>
+        val i: Long = boxed
+        val base: Long = if (i % 10 == 1) i - 1 else i // every 10th ~= predecessor
+        val rnd = new scala.util.Random(base * 2654435761L)
+        val words = Seq.fill(120)("w" + rnd.nextInt(50000))
+        val text =
+          if (i % 10 == 1) (words ++ Seq("near", "dup", "tail")).mkString(" ")
+          else words.mkString(" ")
+        (i.toString, text)
+      }.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val docs = spark.read.parquet(dir)
+
+    def time(what: String)(body: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = body
+      (what, (System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // warm-up (JIT + codegen)
+    Dedup.exactGroups(docs, "doc_id", "text").filter($"n_dups" > 1).count()
+
+    val results = Seq(
+      time("exact") {
+        Dedup.exactGroups(docs, "doc_id", "text")
+          .filter($"n_dups" > 1).count()
+      },
+      time("minhash_lsh") {
+        Dedup.minhashCandidates(docs, "doc_id", "text",
+          numHashes = 64, bands = 16, minJaccard = 0.7).count()
+      },
+      time("simhash") {
+        Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+          .count()
+      },
+      time("decontam") {
+        graft.ops.Decontaminate.contaminationHits(
+          docs, "doc_id", "text",
+          docs.filter(F.col("doc_id").cast("long") < 100).select("text"),
+          "text", k = 8).count()
+      },
+      time("fingerprint_scan") {
+        docs.select(TextAnalysis.fingerprint($"text").as("fp"))
+          .agg(F.count(F.lit(1))).head(); nDocs
+      })
+
+    val fields = results.map { case (w, secs, found) =>
+      f""""$w":{"sec":$secs%.2f,"docs_per_sec":${nDocs / secs}%.0f,"found":$found}"""
+    }.mkString(",")
+    println(s"""{"dedup_bench":{"n_docs":$nDocs,"cpus":$cpus,$fields}}""")
+    spark.stop()
+  }
+}
