@@ -109,50 +109,71 @@ object Dedup {
     graft.functions.MinHashSig(
       TextAnalysis.shingleHashes(text, shingleK), numHashes, seed)
 
-  /** LSH banding: candidate pairs whose signatures collide in ≥1 of
-    * `bands` bands (rowsPerBand = numHashes/bands). The shuffle carries
-    * (bandIdx, bandHash, id, sig) — narrow rows — through the capped
-    * bucket pairing; estimated Jaccard = fraction of equal minhash
-    * components, computed on the candidate pairs only.
+  /** The MinHash signature table `(doc_id, sig)` — the staging artifact
+    * of the LSH pipeline. At 10^12 docs, MATERIALIZE this once (parquet
+    * staging table) and feed [[minhashCandidatesFromSigs]]: the one-shot
+    * [[minhashCandidates]] convenience rebuilds the signature plan for
+    * the verify join, i.e. recomputes signatures a second time. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleK: Int = 5, seed: Long = 42L): DataFrame =
+    df.select(
+      F.col(idCol).cast("string").as("doc_id"),
+      minhashSignature(F.col(textCol), numHashes, shingleK, seed).as("sig"))
+
+  /** LSH banding over a precomputed signature table: candidate pairs
+    * whose signatures collide in ≥1 of `bands` bands (rowsPerBand =
+    * numHashes/bands). The banding shuffle carries ONLY
+    * (bandIdx, bandHash, id) — the 64-component signature is dropped
+    * after the per-band hashes are projected (carrying it ×bands
+    * through the shuffle is ~13× the bytes) and joined back just for
+    * the surviving candidate pairs; estimated Jaccard = fraction of
+    * equal components, via the codegen [[graft.functions.ArrayEqualCount]].
     *
     * Recall lever: P(candidate) = 1-(1-J^r)^b. The defaults (64 hashes,
     * 16 bands × 4 rows) knee near J≈0.6; `bands = 32` (2 rows/band)
     * pushes recall at J ≥ 0.8 to 1 - 4e-15 — effectively deterministic,
     * which oracle-checked pipelines use. */
-  def minhashCandidates(
-      df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16,
+  def minhashCandidatesFromSigs(
+      sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.7, maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = df.select(
-      F.col(idCol).cast("string").as("doc_id"),
-      minhashSignature(F.col(textCol), numHashes).as("sig"))
-
     val banded = sigs.select(
-      F.col("doc_id"), F.col("sig"),
+      F.col("doc_id"),
       F.explode(F.array((0 until bands).map { b =>
         F.struct(
           F.lit(b).as("band"),
           F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows))
             .as("bhash"))
       }: _*)).as("bk"))
-      .select(F.col("doc_id"), F.col("sig"),
+      .select(F.col("doc_id"),
         F.col("bk.band").as("band"), F.col("bk.bhash").as("bhash"))
 
-    bucketedPairs(banded, Seq("band", "bhash"), "doc_id", Seq("sig"),
-        maxBucket)
+    val pairs = bucketedPairs(banded, Seq("band", "bhash"), "doc_id",
+        Seq.empty, maxBucket)
+      .distinct() // a pair may collide in several bands
+    pairs
+      .join(sigs.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("sig", "sig_a"), Seq("id_a"))
+      .join(sigs.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("sig", "sig_b"), Seq("id_b"))
       .select(
         F.col("id_a"), F.col("id_b"),
-        // count of EQUAL components via the codegen expression — the
-        // zip_with+filter formulation runs two interpreted lambdas and
-        // allocates a boolean array per candidate pair
         (graft.functions.ArrayEqualCount(F.col("sig_a"), F.col("sig_b"))
           .cast("double") / numHashes).as("est_jaccard"))
-      .groupBy("id_a", "id_b")
-      .agg(F.first("est_jaccard").as("est_jaccard"))
       .filter(F.col("est_jaccard") >= minJaccard)
   }
+
+  /** One-shot convenience: signatures built inline (and rebuilt for the
+    * pair-verify join — materialize via [[minhashSignatures]] at scale). */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.7, maxBucket: Int = 4096): DataFrame =
+    minhashCandidatesFromSigs(
+      minhashSignatures(df, idCol, textCol, numHashes),
+      numHashes, bands, minJaccard, maxBucket)
 
   // ------------------------------------------------------------------
   // SimHash
