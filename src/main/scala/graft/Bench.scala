@@ -3,13 +3,30 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /**
- * Driver-contract bench: times every SparkEntry query on
- * `SPARK_GRAFT_SF_DIR`, plus the engine's headline metric — fast-path
+ * Driver-contract bench: the engine's headline metric — fast-path
  * validation throughput (sequences/sec) over a parquet-materialized
- * synthetic `input_hint` table — and prints ONE JSON line (also written
- * to `BENCH_LOCAL.json`, since stdout may be wrapped by the build tool).
+ * synthetic `input_hint` table — plus per-query times for every
+ * SparkEntry query on `SPARK_GRAFT_SF_DIR`. Prints ONE JSON line (also
+ * written to `BENCH_LOCAL.json`, since stdout may be wrapped by the
+ * build tool).
+ *
+ * Measurement protocol (round-2 verdict: best-of-3 under a 3.2× rep
+ * spread is a lottery):
+ *  - the headline runs FIRST, before the query suite touches the page
+ *    cache / GC state;
+ *  - ≥5 timed reps, MEDIAN throughput reported;
+ *  - if max/min rep spread exceeds 1.5× the whole batch is re-run (up
+ *    to 2 retries) and all reps pool into the median;
+ *  - every raw rep time and the final spread are emitted in the JSON
+ *    so a noisy box is visible in the artifact, not hidden by it.
  */
 object Bench {
+
+  private val HeadlineRows = 32000000L
+  private val Reps = 5
+  private val MaxSpread = 1.5
+  private val MaxRetries = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,10 +47,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // ---- headline FIRST: fast-path validation throughput ------------
+    // 32M rows: big enough that the fixed driver/stage-orchestration
+    // cost (constant in data size — see BENCH/BASELINE.md) is amortized
+    // and JIT steady state is reached; small-row measurements
+    // structurally understate the scalable rate.
+    var allReps = Vector.empty[Double]
+    var batch = 0
+    var spread = Double.MaxValue
+    while (batch == 0 ||
+        (spread > MaxSpread && batch <= MaxRetries)) {
+      val (_, _, times) = Scaling.validationThroughput(
+        spark, cpus.toInt, nRows = HeadlineRows, reps = Reps)
+      spread = times.max / times.min
+      allReps ++= times
+      batch += 1
+      if (spread > MaxSpread && batch <= MaxRetries)
+        System.err.println(
+          f"[bench] rep spread $spread%.2fx > $MaxSpread — retrying batch")
+    }
+    val medianSec = Scaling.median(allReps)
+    val seqPerSec = HeadlineRows / medianSec
+    val finalSpread = allReps.max / allReps.min
+
+    // ---- per-query suite times ---------------------------------------
     // warm the JVM/codegen once with the cheapest query
     try SparkEntry.queries("t_tokens")(spark, sfDir).count()
     catch { case _: Throwable => () }
-
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
@@ -41,20 +81,12 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // headline: fast-path validation throughput on the input_hint table.
-    // 32M rows / 3 timed reps: big enough that the fixed
-    // driver/stage-orchestration cost (constant in data size — see
-    // BENCH/BASELINE.md) is amortized and JIT steady state is reached;
-    // small-row measurements structurally understate the scalable rate.
-    val (seqPerSec, nRows) =
-      Scaling.validationThroughput(spark, cpus.toInt, nRows = 32000000L,
-        reps = 3)
-
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val reps = allReps.map(t => f"$t%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validation_seq_per_sec":$seqPerSec%.0f,"validation_rows":$nRows}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validation_seq_per_sec":$seqPerSec%.0f,"validation_rows":$HeadlineRows,"validation_rep_sec":$reps,"validation_median_sec":$medianSec%.3f,"validation_spread":$finalSpread%.2f}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()

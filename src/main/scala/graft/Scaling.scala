@@ -47,11 +47,21 @@ object Scaling {
     dir
   }
 
+  /** Median of a non-empty sequence (even n → mean of middle two). */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   /** One timed fast-path validation pass (scan → predicates → verdict
-    * aggregate); returns (seq/sec, rows). */
+    * aggregate); returns (median seq/sec, rows, per-rep seconds).
+    * MEDIAN, not best-of: the round-2 driver run showed a 3.2× rep
+    * spread on a loaded box, and best-of under that variance is a
+    * lottery (VERDICT r2 What's-wrong #1). */
   def validationThroughput(
       spark: SparkSession, cpus: Int,
-      nRows: Long = DefaultRows, reps: Int = 2): (Double, Long) = {
+      nRows: Long = DefaultRows, reps: Int = 2): (Double, Long, Seq[Double]) = {
     val dir = ensureData(spark, nRows)
     // GRAFT_BENCH_SUITE: "rowlocal" = scan+predicate path alone (no
     // dataset-check shuffles); "drop:unique,drift,ri" = full suite minus
@@ -88,8 +98,7 @@ object Scaling {
     val times = (1 to reps).map { _ => runOnce(spark, df, suite) }
     System.err.println(
       f"[scaling] times=${times.map(t => f"$t%.2f").mkString(",")}s")
-    val best = times.min
-    (nRows / best, nRows)
+    (nRows / median(times), nRows, times)
   }
 
   private def runOnce(spark: SparkSession,
@@ -154,8 +163,9 @@ object Scaling {
       val reps = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
       val s = session(cpus.toInt)
       ensureData(s, nRows)
-      val (thr, _) = validationThroughput(s, cpus.toInt, nRows, reps = reps)
-      println(f"""{"scaling_measure":{"cpus":$cpus,"rows":$nRows,"seq_per_sec":$thr%.0f}}""")
+      val (thr, _, times) = validationThroughput(s, cpus.toInt, nRows, reps = reps)
+      val ts = times.map(t => f"$t%.3f").mkString("[", ",", "]")
+      println(f"""{"scaling_measure":{"cpus":$cpus,"rows":$nRows,"seq_per_sec":$thr%.0f,"rep_sec":$ts}}""")
       s.stop()
     case "report" :: lo :: hi :: tLo :: tHi :: rest =>
       val nRows = rest.headOption.map(_.toLong).getOrElse(DefaultRows)

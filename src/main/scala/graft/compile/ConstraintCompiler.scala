@@ -180,8 +180,10 @@ object ConstraintCompiler {
     val ctx = flat(suite.constraints)
 
     /** Covered element positions of an array column: None = everything
-      * covered, Some(p) = positions [0, p) covered. */
-    def itemsCoverage(col: String): Option[Int] = {
+      * covered; Some((p, None)) = only [0, p) covered; Some((p, Some(s)))
+      * = [0, p) and [s, ∞) covered, leaving the gap [p, s) unevaluated
+      * (PrefixItems(p) + EachElementFrom(s) with s > p). */
+    def itemsCoverage(col: String): Option[(Int, Option[Int])] = {
       val full = ctx.exists {
         case EachElement(_, c, _) => c == col
         case _                    => false
@@ -195,7 +197,8 @@ object ConstraintCompiler {
       }.minOption
       tailFrom match {
         case Some(s) if s <= prefix => None // prefix + tail cover all
-        case _                      => Some(prefix)
+        case Some(s)                => Some((prefix, Some(s)))
+        case None                   => Some((prefix, None))
       }
     }
 
@@ -218,8 +221,17 @@ object ConstraintCompiler {
     def rw(c: Constraint): Constraint = c match {
       case UnevaluatedItems(id, col, elem) =>
         itemsCoverage(col) match {
-          case None    => BoolSchema(id, true) // everything evaluated
-          case Some(p) => EachElementFrom(id, col, p, rw(elem))
+          case None => BoolSchema(id, true) // everything evaluated
+          case Some((p, None)) => EachElementFrom(id, col, p, rw(elem))
+          case Some((p, Some(s))) =>
+            // Only the gap [p, s) is unevaluated — positions >= s ARE
+            // evaluated by the items-after-prefix schema, so re-applying
+            // `elem` there would be a false violation. PrefixItems is
+            // position-wise and absent positions pass, so pad [0, p)
+            // with `true` and check only the gap.
+            PrefixItems(id, col,
+              Seq.fill(p)(BoolSchema(s"$id.covered", true)) ++
+                Seq.fill(s - p)(rw(elem)))
         }
       case UnevaluatedProperties(id, col, elem, _, _) =>
         val (full, ks, ps) = propsCoverage(col)
@@ -482,11 +494,17 @@ object ConstraintCompiler {
     case "ipv4" =>
       v.rlike("^((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\.){3}" +
         "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)$")
-    case "ipv6" =>
-      // full/compressed hex groups incl. "::"; no embedded-IPv4 forms
-      v.rlike("^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|" +
-        "(([0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4})?::" +
-        "(([0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4})?)$")
+    case "ipv6" => {
+      // full/compressed hex groups incl. "::"; no embedded-IPv4 forms.
+      // Each "::" alternative bounds the group count so left+right can
+      // never exceed 7 groups ("::" stands for >=1 zero group) —
+      // unbounded (h:)* admitted 9+-group addresses.
+      val h = "[0-9A-Fa-f]{1,4}"
+      v.rlike(s"^(($h:){7}$h|($h:){1,7}:|($h:){1,6}:$h|" +
+        s"($h:){1,5}(:$h){1,2}|($h:){1,4}(:$h){1,3}|" +
+        s"($h:){1,3}(:$h){1,4}|($h:){1,2}(:$h){1,5}|" +
+        s"$h:(:$h){1,6}|:((:$h){1,7}|:))$$")
+    }
     case "hostname" =>
       v.rlike("^(?=.{1,253}$)([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)" +
         "(\\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$")
@@ -542,6 +560,17 @@ object ConstraintCompiler {
     buf.toSeq
   }
 
+  /** Truncated key-list summary for map-typed violations: first 8
+    * offending keys as JSON + a "+N more" suffix — violation rows must
+    * stay narrow even against 100-key map columns. */
+  private def keySummary(keys: Column): Column = {
+    val n = F.size(keys)
+    val head = F.to_json(F.slice(keys, 1, 8))
+    F.when(n > 8,
+      F.concat(head, F.lit(" +"), (n - 8).cast("string"), F.lit(" more")))
+      .otherwise(head)
+  }
+
   /** Expression for the violation row's `observed` field. Arrays are
     * summarized by size, not dumped — violation rows must stay narrow at
     * 10^12-row scale. */
@@ -560,22 +589,28 @@ object ConstraintCompiler {
       F.concat(F.lit("size="), F.size(F.col(col)).cast("string"))
     case EachElementFrom(_, col, _, _) =>
       F.concat(F.lit("size="), F.size(F.col(col)).cast("string"))
-    case KeysIn(_, col, _) =>
-      F.to_json(F.map_keys(F.col(col)))
+    case KeysIn(_, col, allowed) =>
+      keySummary(F.filter(F.map_keys(F.col(col)),
+        k => if (allowed.isEmpty) F.lit(true) else !k.isin(allowed: _*)))
     case KeyCountBounds(_, col, _, _) =>
       F.concat(F.lit("n_keys="),
         F.size(F.map_keys(F.col(col))).cast("string"))
     case EachKey(_, col, _) =>
-      F.to_json(F.map_keys(F.col(col)))
+      keySummary(F.map_keys(F.col(col)))
     case PropertyValues(_, col, k, _) =>
       F.coalesce(F.try_element_at(F.col(col), F.lit(k)).cast("string"),
         F.lit("null"))
-    case PatternValues(_, col, _, _) =>
-      F.to_json(F.col(col))
+    case PatternValues(_, col, p, _) =>
+      keySummary(F.filter(F.map_keys(F.col(col)), k => k.rlike(p)))
     case UnevaluatedItems(_, col, _) =>
       F.concat(F.lit("size="), F.size(F.col(col)).cast("string"))
-    case UnevaluatedProperties(_, col, _, _, _) =>
-      F.to_json(F.col(col))
+    case UnevaluatedProperties(_, col, _, ks, ps) =>
+      keySummary(F.filter(F.map_keys(F.col(col)), k => {
+        val inKeys = if (ks.isEmpty) F.lit(false) else k.isin(ks: _*)
+        val inPats = ps.map(p => k.rlike(p))
+          .reduceOption(_ || _).getOrElse(F.lit(false))
+        !(inKeys || inPats)
+      }))
     case SizeConsistency(_, i, a) =>
       F.concat(F.col(i).cast("string"), F.lit("!=size:"),
         F.size(F.col(a)).cast("string"))

@@ -50,7 +50,9 @@ object ImageHeaders {
       // fill bytes: consecutive FFs before a marker are legal padding
       var j = i + 1
       while (marker == 0xff && j + 1 < b.length) { j += 1; marker = u8(b, j) }
+      if (marker == 0xff) return None // trailing fill bytes, no marker
       if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS first
+      if (j + 3 > b.length) return None // length bytes out of range
       val segLen = be16(b, j + 1)
       if (segLen < 2 || j + 1 + segLen > b.length) return None
       if (isSof(marker)) {

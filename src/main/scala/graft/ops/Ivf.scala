@@ -74,14 +74,30 @@ object Ivf {
     F.transform(v, x => x / n)
   }
 
+  /** Hard cap on the broadcast query-set size (probes = queries ×
+    * nprobe rows, each carrying the full query vector). Past this,
+    * broadcasting would OOM the driver — callers with a huge query set
+    * should flip the join (treat queries as the corpus) or fall back to
+    * a shuffle join on `cell`. */
+  val MaxBroadcastQueries = 100000
+
   /** Approximate top-k: corpus rows are scored only for queries probing
-    * their cell. `nprobe` trades recall for cost (cells scanned). */
+    * their cell. `nprobe` trades recall for cost (cells scanned).
+    *
+    * Contract: the QUERY set is the small side (≤ [[MaxBroadcastQueries]]
+    * rows, enforced with a bounded limit+count probe — never a full
+    * scan); the corpus side streams. */
   def topK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= centroids.length,
       "nprobe must be in [1, k-centroids]")
+    val qProbe = queries.limit(MaxBroadcastQueries + 1).count()
+    require(qProbe <= MaxBroadcastQueries,
+      s"Ivf.topK broadcasts the query set (× nprobe probes); got more " +
+        s"than $MaxBroadcastQueries query rows — swap sides or use a " +
+        s"shuffle join on the cell column for query sets this large")
     // corpus: one codegen projection assigns the cell — no shuffle
     val c = corpus.select(
       F.col(idCol).cast("string").as("neighbor_id"),

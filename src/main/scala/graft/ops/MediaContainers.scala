@@ -28,21 +28,26 @@ object MediaContainers {
   def parseWav(b: Array[Byte]): Option[WavInfo] = {
     if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
       return None
-    var i = 12
+    // Cursor and step stay Long: chunk lengths are UNSIGNED 32-bit, so a
+    // malformed length >= 2^31 truncated to Int would make the step zero
+    // or negative and the walk would never terminate.
+    var i = 12L
     var rate, chans, bits, byteRate = 0
     var dataLen = -1L
     while (i + 8 <= b.length) {
-      val len = le32(b, i + 4).toLong & 0xffffffffL
-      if (tag(b, i, "fmt ")) {
-        if (i + 8 + 16 > b.length) return None
-        chans = le16(b, i + 10)
-        rate = le32(b, i + 12)
-        byteRate = le32(b, i + 16)
-        bits = le16(b, i + 22)
-      } else if (tag(b, i, "data")) {
+      val at = i.toInt
+      val len = le32(b, at + 4).toLong & 0xffffffffL
+      if (len > b.length - i - 8) return None // chunk overruns payload
+      if (tag(b, at, "fmt ")) {
+        if (at + 8 + 16 > b.length) return None
+        chans = le16(b, at + 10)
+        rate = le32(b, at + 12)
+        byteRate = le32(b, at + 16)
+        bits = le16(b, at + 22)
+      } else if (tag(b, at, "data")) {
         dataLen = len
       }
-      i += 8 + len.toInt + (len.toInt & 1) // chunks are 2-byte aligned
+      i += 8L + len + (len & 1L) // chunks are 2-byte aligned
     }
     if (rate <= 0 || byteRate <= 0 || dataLen < 0) None
     else Some(WavInfo(rate, chans, bits, dataLen * 1000L / byteRate))

@@ -79,6 +79,19 @@ class ErrorSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("Ivf.topK rejects query sets too large to broadcast") {
+    import org.apache.spark.sql.{functions => F}
+    val huge = spark.range(graft.ops.Ivf.MaxBroadcastQueries + 1L)
+      .select(F.col("id").cast("string").as("id"),
+        F.array(F.lit(1.0), F.lit(0.0)).as("v"))
+    val corpus = Seq(("c1", Seq(1.0, 0.0))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Ivf.topK(huge, corpus, "id", "v", 1,
+        Array(Array(1.0, 0.0)), nprobe = 1)
+    }
+    assert(e.getMessage.contains(graft.ops.Ivf.MaxBroadcastQueries.toString))
+  }
+
   test("streaming path rejects dataset-level checks loudly") {
     val suite = ConstraintCompiler.compile(ConstraintSuite("s", Seq(
       C.Unique("u", "doc_id"))))

@@ -99,6 +99,55 @@ class KeywordSpec extends SparkSpec {
     assert(!failures(pfxTail, arrs).exists(_._2 == "tail_small"))
   }
 
+  test("unevaluatedItems: coverage GAP between prefix and items-after") {
+    import spark.implicits._
+    // PrefixItems covers [0,1); EachElementFrom covers [2,∞) — only
+    // position 1 is unevaluated. 2020-12 annotation semantics: the
+    // unevaluated schema must NOT re-apply to the evaluated tail.
+    val arrs = Seq(
+      ("g1", Seq(9, 999, 5)),   // gap position 1 violates <= 100
+      ("g2", Seq(9, 5, 999)),   // 999 at pos 2 IS evaluated → no flag
+      ("g3", Seq(9)))           // no gap element present → passes
+      .toDF("doc_id", "xs")
+    val suite = ConstraintSuite("gap", Seq(
+      PrefixItems("prefix", "xs", Seq(Bounds("p0", "$", None, Some(9)))),
+      EachElementFrom("tail", "xs", 2, Bounds("b1", "$", None, Some(1000))),
+      UnevaluatedItems("gap_small", "xs",
+        Bounds("b", "$", None, Some(100)))))
+    val f = failures(suite, arrs)
+    assert(f.filter(_._2 == "gap_small").map(_._1) == Set("g1"), f)
+  }
+
+  test("map violations: observed stays narrow on a 100-key map") {
+    import spark.implicits._
+    val wide = Seq(
+      ("w1", (1 to 100).map(i => s"key-$i" -> s"v$i").toMap))
+      .toDF("doc_id", "attrs")
+    // separate suites: KeysIn/PatternValues would otherwise COVER the
+    // map and rewrite unevaluatedProperties away
+    val suites = Seq(
+      ConstraintSuite("w_keys", Seq(
+        KeysIn("allow", "attrs", Seq("key-1")))),
+      ConstraintSuite("w_pat", Seq(
+        PatternValues("pv", "attrs", "^key-", BoolSchema("f", false)))),
+      ConstraintSuite("w_unev", Seq(
+        PropertyValues("p1", "attrs", "key-1",
+          TypeIs("t", "$", "string")),
+        UnevaluatedProperties("no_extra", "attrs",
+          BoolSchema("f", false)))))
+    val obs = suites.flatMap { s =>
+      Validator.validateWithDetails(
+          wide, ConstraintCompiler.compile(s), Seq.empty)
+        .violations.select("constraint_id", "observed")
+        .as[(String, String)].collect()
+    }.toMap
+    assert(obs.keySet == Set("allow", "pv", "no_extra"), obs)
+    obs.foreach { case (cid, o) =>
+      assert(o.length < 160, s"$cid observed too wide: $o")
+      assert(o.contains("more"), s"$cid not truncated: $o")
+    }
+  }
+
   test("ref fragments and anchors: suite#cid, #cid, errors") {
     val reg = ConstraintRegistry.empty
     reg.register("common", ConstraintSuite("common", Seq(
@@ -177,6 +226,13 @@ class KeywordSpec extends SparkSpec {
     assert(ok("ipv6", "2001:db8:85a3:0:0:8a2e:370:7334"))
     assert(ok("ipv6", "::1") && ok("ipv6", "fe80::1"))
     assert(!ok("ipv6", "2001:db8::85a3::1") && !ok("ipv6", "12345::"))
+    // group-count bounds: "::" stands for >= 1 zero group, so a
+    // compressed form never totals more than 8 groups
+    assert(!ok("ipv6", "1:2:3:4:5:6:7:8::"))
+    assert(!ok("ipv6", "::1:2:3:4:5:6:7:8:9"))
+    assert(!ok("ipv6", "1:2:3:4:5:6:7:8:9"))
+    assert(ok("ipv6", "1:2:3:4:5:6:7::") && ok("ipv6", "::2:3:4:5:6:7:8"))
+    assert(ok("ipv6", "::") && ok("ipv6", "1::8"))
     assert(ok("hostname", "example.com") && ok("hostname", "a-b.c2"))
     assert(!ok("hostname", "-bad.com") && !ok("hostname", "a..b"))
     assert(ok("time", "23:59:60Z") && ok("time", "08:30:06.283185+05:00"))

@@ -332,6 +332,32 @@ class OpsSpec extends SparkSpec {
     assert(MediaContainers.parseWav(wav.take(40)).isEmpty)
     assert(MediaContainers.parseMp4(mp4.take(20)).isEmpty)
     assert(MediaContainers.parseMp4(Array.fill[Byte](64)(0x7f)).isEmpty)
+
+    // adversarial unsigned chunk length (0xFFFFFFF8): truncated to Int
+    // this is -8, making the old chunk-walk step ZERO — an infinite
+    // loop pinning an executor task. Must terminate with None.
+    val evil = MediaContainers.buildWav(8000, 1, 16, 1)
+    evil(40) = 0xf8.toByte; evil(41) = 0xff.toByte
+    evil(42) = 0xff.toByte; evil(43) = 0xff.toByte // data len = 2^32-8
+    assert(MediaContainers.parseWav(evil).isEmpty)
+  }
+
+  test("image/media parsers: malformed byte streams return None") {
+    import graft.ops.{ImageHeaders, MediaContainers}
+    // JPEG fill bytes running to end-of-buffer: the segment-length read
+    // past the array threw AIOOBE before the bounds guard
+    assert(ImageHeaders.parseJpeg(
+      Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff).map(_.toByte)).isEmpty)
+    // marker present but its 2-byte length field truncated
+    assert(ImageHeaders.parseJpeg(
+      Array(0xff, 0xd8, 0xff, 0xfe).map(_.toByte)).isEmpty)
+    assert(ImageHeaders.parseJpeg(
+      Array(0xff, 0xd8, 0xff, 0xfe, 0x00).map(_.toByte)).isEmpty)
+    // WAV chunk whose declared length overruns the payload
+    val wav = MediaContainers.buildWav(8000, 1, 16, 2)
+    wav(40) = 0x7f.toByte // data len claims 0x7f...  > remaining bytes
+    wav(43) = 0x7f.toByte
+    assert(MediaContainers.parseWav(wav).isEmpty)
   }
 
   test("multimodal: stub decode plumbing preserves schema and batches") {
