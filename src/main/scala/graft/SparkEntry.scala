@@ -242,6 +242,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "d_groups" -> ((s, dir) => {
+      // Connected-components dedup grouping: pairs → keep/drop GROUPS.
+      // The corpus plants CHAINS as well as triangles: X ~ X+1M (small
+      // suffix) and X+1M ~ X+3M (longer suffix) always clear J >= 0.8,
+      // while X ~ X+3M may not for short docs — components must be
+      // closed transitively, which the alternating large-star/
+      // small-star rounds do in O(log n). DuckDB re-derives the same
+      // groups from brute-force exact-Jaccard pairs + a recursive
+      // reachability CTE.
+      val d0 = docs(s, dir).select(F.col("doc_id"), F.col("text"))
+      val corpus = nearDupCorpus(s, dir).unionAll(d0.select(
+        (F.col("doc_id") + 3000000).as("doc_id"),
+        F.concat(F.col("text"),
+          F.lit(" graft variant suffix extra trailing words")).as("text")))
+      val cands = Dedup.minhashCandidates(corpus, "doc_id", "text",
+          numHashes = 64, bands = 32, minJaccard = 0.0)
+        .select("id_a", "id_b")
+      val pairs = Dedup.ngramJaccard(cands, corpus, "doc_id", "text", k = 5)
+        .filter(F.col("jaccard") >= 0.8)
+      graft.ops.ConnectedComponents.groups(pairs).orderBy("doc_id")
+    }),
+
     "d_decontam" -> ((s, dir) => {
       // benchmark decontamination: docs 0-19 play the eval set; the
       // corpus (docs + suffix variants) is scanned for k=8 shingle
@@ -618,6 +640,41 @@ object SparkEntry {
          |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS INTEGER) AS hamming
          |FROM c a, c b WHERE a.id < b.id AND a.fp = b.fp
          |ORDER BY id_a, id_b""".stripMargin,
+    "d_groups" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT CAST(doc_id + 1000000 AS VARCHAR),
+         |         text || ' graft variant suffix' FROM documents
+         |  UNION ALL
+         |  SELECT CAST(doc_id + 3000000 AS VARCHAR),
+         |         text || ' graft variant suffix extra trailing words'
+         |  FROM documents),
+         |g AS (SELECT id,
+         |  list_distinct(list_transform(
+         |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         |    ELSE list_transform(range(1, len(w) - 3),
+         |      i -> array_to_string(w[i:i+4], ' ')) END,
+         |    s -> hash(s))) AS grams
+         |  FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+         |        FROM corpus)),
+         |p AS (SELECT id_a, id_b FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |      / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+         |  FROM g a, g b WHERE a.id < b.id
+         |    AND len(a.grams) >= 0.8 * len(b.grams)
+         |    AND len(b.grams) >= 0.8 * len(a.grams))
+         |  WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(src, node) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node)
+         |SELECT src AS doc_id, MIN(node) AS group_id,
+         |       (src = MIN(node)) AS keep
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "d_decontam" ->
       s"""WITH $NearDupCorpusSql,
          |cg AS (SELECT id, list_distinct(

@@ -60,6 +60,49 @@ class OpsSpec extends SparkSpec {
     assert(pairs.filter($"id_a" === "doc-00000").count() == (n - 1).toLong)
   }
 
+  test("connected components: chains close transitively in O(log n)") {
+    import graft.ops.ConnectedComponents
+    // path graph of 65 nodes: plain label propagation needs 64 rounds;
+    // the large-star/small-star alternation must converge well inside 12
+    val chain = spark.range(64).selectExpr(
+      "format_string('n%03d', id) as id_a",
+      "format_string('n%03d', id + 1) as id_b")
+    val g1 = ConnectedComponents.groups(chain, maxIter = 12)
+    assert(g1.count() == 65)
+    assert(g1.filter($"group_id" =!= "n000").isEmpty)
+    assert(g1.filter($"keep").select("doc_id").as[String]
+      .collect().toSeq == Seq("n000"))
+
+    // two components; group_id is each component's min id
+    val pairs = Seq(("b", "a"), ("c", "b"), ("z", "y"))
+      .toDF("id_a", "id_b")
+    val g2 = ConnectedComponents.groups(pairs).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(g2 == Map(
+      "a" -> (("a", true)), "b" -> (("a", false)), "c" -> (("a", false)),
+      "y" -> (("y", true)), "z" -> (("y", false))))
+
+    // empty pair table → empty assignment, no crash
+    assert(ConnectedComponents.groups(
+      Seq.empty[(String, String)].toDF("id_a", "id_b")).isEmpty)
+  }
+
+  test("connected components: 10k-star dedup group stays one group") {
+    import graft.ops.ConnectedComponents
+    // the shape bucketedPairs emits for a degenerate bucket: star pairs
+    // around the min-id representative — CC must resolve it to a single
+    // keep/drop group with linear work
+    val n = 10000
+    val star = spark.range(1, n).selectExpr(
+      "'doc-00000' as id_a",
+      "concat('doc-', format_string('%05d', id)) as id_b")
+    val g = ConnectedComponents.groups(star)
+    assert(g.count() == n.toLong)
+    assert(g.filter($"group_id" =!= "doc-00000").isEmpty)
+    assert(g.filter($"keep").count() == 1L)
+  }
+
   test("decontamination: shingle overlap with a benchmark set") {
     import graft.ops.Decontaminate
     val bench = Seq(Tuple1(
