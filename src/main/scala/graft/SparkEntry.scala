@@ -369,8 +369,11 @@ object SparkEntry {
               ("image", if (id % 2 == 0) ImageHeaders.buildPng(w, h)
                         else ImageHeaders.buildJpeg(w, h))
             case 1 =>
+              // square-wave PCM at amplitude 500 + id%5000: decoded
+              // RMS == amplitude exactly (closed-form PCM oracle)
               ("audio", MediaContainers.buildWav(
-                8000, (1 + id % 2).toInt, 16, 10 + id % 50))
+                8000, (1 + id % 2).toInt, 16, 10 + id % 50,
+                amplitude = (500 + id % 5000).toInt))
             case _ =>
               ("video", MediaContainers.buildMp4(1000L + (id % 60) * 250L))
           }
@@ -379,7 +382,8 @@ object SparkEntry {
       Multimodal.extractFeatures(rows).toDF()
         .select(F.col("doc_id"), F.col("media_type"), F.col("width"),
           F.col("height"), F.col("duration_ms"), F.col("sample_rate"),
-          F.col("channels"), F.col("byte_len"))
+          F.col("channels"), F.round(F.col("rms"), 6).as("rms"),
+          F.col("byte_len"))
         .orderBy("doc_id")
     }))
 
@@ -762,6 +766,8 @@ object SparkEntry {
         |    AS sample_rate,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
         |       ELSE 0 END AS INTEGER) AS channels,
+        |  ROUND(CASE WHEN doc_id % 3 = 1 THEN CAST(500 + doc_id % 5000 AS DOUBLE)
+        |       ELSE 0.0 END, 6) AS rms,
         |  CAST(CASE doc_id % 3
         |       WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 41 END
         |       WHEN 1 THEN 44 + 16 * (1 + doc_id % 2) * (10 + doc_id % 50)

@@ -19,6 +19,11 @@ object MediaContainers {
       sampleRate: Int, channels: Int, bitsPerSample: Int,
       durationMs: Long)
 
+  /** Decoded PCM frame statistics: real SAMPLE decode (16-bit LE PCM is
+    * plain bytes — no codec library needed), not just header fields. */
+  final case class WavPcm(
+      nFrames: Long, rms: Double, peak: Int)
+
   final case class Mp4Info(timescaleHz: Int, durationMs: Long)
 
   // ----------------------------------------------------------------
@@ -53,11 +58,14 @@ object MediaContainers {
     else Some(WavInfo(rate, chans, bits, dataLen * 1000L / byteRate))
   }
 
-  /** Minimal PCM WAV: 44-byte canonical header + silent data sized for
-    * the requested duration. Deterministic length:
-    * 44 + byteRate·ms/1000. */
+  /** Minimal PCM WAV: 44-byte canonical header + data sized for the
+    * requested duration. Deterministic length: 44 + byteRate·ms/1000.
+    * `amplitude` = 0 writes silence; > 0 (16-bit only) writes a square
+    * wave alternating ±amplitude per frame on every channel, so the
+    * decoded RMS and peak both equal `amplitude` exactly — a
+    * closed-form PCM oracle. */
   def buildWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
-      durationMs: Long): Array[Byte] = {
+      durationMs: Long, amplitude: Int = 0): Array[Byte] = {
     val byteRate = sampleRate * channels * bitsPerSample / 8
     val dataLen = (byteRate * durationMs / 1000L).toInt
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -70,7 +78,59 @@ object MediaContainers {
     buf.putShort((channels * bitsPerSample / 8).toShort)
     buf.putShort(bitsPerSample.toShort)
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    buf.array() // remaining dataLen bytes stay zero (silence)
+    if (amplitude > 0 && bitsPerSample == 16) {
+      require(amplitude <= Short.MaxValue, "amplitude exceeds 16-bit PCM")
+      val frames = dataLen / (channels * 2)
+      var f = 0
+      while (f < frames) {
+        val v = (if (f % 2 == 0) amplitude else -amplitude).toShort
+        var c = 0
+        while (c < channels) { buf.putShort(v); c += 1 }
+        f += 1
+      }
+    }
+    buf.array() // with amplitude 0 the data bytes stay zero (silence)
+  }
+
+  /** Decode the PCM frames of a 16-bit WAV: frame count, RMS and peak
+    * over all samples. Returns None for non-PCM / non-16-bit payloads
+    * or malformed containers — never throws. */
+  def parseWavPcm(b: Array[Byte]): Option[WavPcm] = {
+    if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
+      return None
+    var i = 12L
+    var fmtCode, chans, bits = 0
+    var dataAt = -1
+    var dataLen = 0L
+    while (i + 8 <= b.length) {
+      val at = i.toInt
+      val len = le32(b, at + 4).toLong & 0xffffffffL
+      if (len > b.length - i - 8) return None
+      if (tag(b, at, "fmt ")) {
+        if (at + 8 + 16 > b.length) return None
+        fmtCode = le16(b, at + 8)
+        chans = le16(b, at + 10)
+        bits = le16(b, at + 22)
+      } else if (tag(b, at, "data")) {
+        dataAt = at + 8
+        dataLen = len
+      }
+      i += 8L + len + (len & 1L)
+    }
+    if (fmtCode != 1 || bits != 16 || chans <= 0 || dataAt < 0) return None
+    val nSamples = dataLen / 2
+    if (nSamples == 0) return Some(WavPcm(0L, 0.0, 0))
+    var s = 0
+    var sumSq = 0.0
+    var peak = 0
+    while (s < nSamples) {
+      val v = (le16(b, dataAt + 2 * s) << 16) >> 16 // sign-extend
+      sumSq += v.toDouble * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      s += 1
+    }
+    Some(WavPcm(nSamples / chans, math.sqrt(sumSq / nSamples), peak))
   }
 
   // ----------------------------------------------------------------

@@ -11,8 +11,10 @@ final case class MediaRow(
     payload: Array[Byte],
     meta: Map[String, String])
 
-/** Extracted features for one asset (decode output). `sample_rate` and
-  * `channels` are audio-only (0 otherwise). */
+/** Extracted features for one asset (decode output). `sample_rate`,
+  * `channels` and `rms` are audio-only (0 otherwise); `rms` comes from
+  * REAL PCM frame decode ([[MediaContainers.parseWavPcm]]), not header
+  * fields. */
 final case class MediaFeatures(
     doc_id: String,
     media_type: String,
@@ -23,6 +25,7 @@ final case class MediaFeatures(
     frames_sampled: Int,
     sample_rate: Int,
     channels: Int,
+    rms: Double,
     payload_hash: Long)
 
 /**
@@ -56,21 +59,27 @@ final class HeaderDecoder extends MediaDecoder {
     r.media_type match {
       case "image" => ImageHeaders.parse(r.payload) match {
         case Some(d) => MediaFeatures(r.doc_id, r.media_type,
-          r.payload.length, d.width, d.height, 0L, 1, 0, 0, h)
+          r.payload.length, d.width, d.height, 0L, 1, 0, 0, 0.0, h)
         case None => MediaFeatures(r.doc_id, r.media_type,
-          r.payload.length, -1, -1, 0L, 1, 0, 0, h)
+          r.payload.length, -1, -1, 0L, 1, 0, 0, 0.0, h)
       }
       case "audio" => MediaContainers.parseWav(r.payload) match {
-        case Some(w) => MediaFeatures(r.doc_id, r.media_type,
-          r.payload.length, 0, 0, w.durationMs, 0, w.sampleRate,
-          w.channels, h)
+        case Some(w) =>
+          // real PCM frame decode: RMS over the 16-bit samples (0.0
+          // for non-16-bit/non-PCM payloads — the header fields still
+          // come through)
+          val rms = MediaContainers.parseWavPcm(r.payload)
+            .map(_.rms).getOrElse(0.0)
+          MediaFeatures(r.doc_id, r.media_type,
+            r.payload.length, 0, 0, w.durationMs, 0, w.sampleRate,
+            w.channels, rms, h)
         case None => stub.decode(r)
       }
       case "video" => MediaContainers.parseMp4(r.payload) match {
         // frames_sampled: the per-asset sampling plan (8 uniformly
         // spaced frames) — actual frame extraction needs a codec
         case Some(m) => MediaFeatures(r.doc_id, r.media_type,
-          r.payload.length, 0, 0, m.durationMs, 8, 0, 0, h)
+          r.payload.length, 0, 0, m.durationMs, 8, 0, 0, 0.0, h)
         case None => stub.decode(r)
       }
       case _ => stub.decode(r)
@@ -96,6 +105,7 @@ final class StubDecoder extends MediaDecoder {
       frames_sampled = if (r.media_type == "video") 8 else 1,
       sample_rate = 0,
       channels = 0,
+      rms = 0.0,
       payload_hash = h)
   }
 }

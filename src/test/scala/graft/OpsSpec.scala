@@ -376,6 +376,16 @@ class OpsSpec extends SparkSpec {
     assert(MediaContainers.parseMp4(mp4.take(20)).isEmpty)
     assert(MediaContainers.parseMp4(Array.fill[Byte](64)(0x7f)).isEmpty)
 
+    // real PCM frame decode: square wave ±A → RMS == peak == A exactly
+    val loud = MediaContainers.buildWav(8000, 2, 16, 20, amplitude = 1234)
+    val pcm = MediaContainers.parseWavPcm(loud).get
+    assert(pcm.rms == 1234.0 && pcm.peak == 1234)
+    assert(pcm.nFrames == 160L) // 8000 Hz × 20 ms
+    assert(MediaContainers.parseWavPcm(wav).get.rms == 0.0) // silence
+    // non-16-bit payloads: headers parse, PCM decode declines
+    val w8 = MediaContainers.buildWav(8000, 1, 8, 10)
+    assert(MediaContainers.parseWavPcm(w8).isEmpty)
+
     // adversarial unsigned chunk length (0xFFFFFFF8): truncated to Int
     // this is -8, making the old chunk-walk step ZERO — an infinite
     // loop pinning an executor task. Must terminate with None.
