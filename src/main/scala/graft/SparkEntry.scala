@@ -181,6 +181,23 @@ object SparkEntry {
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     }),
+    "d_minhash_staged" -> ((s, dir) => {
+      // The staged-signature variant of d_minhash — the 10^12-scale
+      // shape: signatures computed ONCE and MATERIALIZED (localCheckpoint
+      // standing in for the parquet staging table DedupBench writes),
+      // then banded and verify-joined with no signature recompute.
+      // Must produce the exact same verified pair set as d_minhash.
+      val corpus = nearDupCorpus(s, dir)
+      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text",
+        numHashes = 64).localCheckpoint()
+      val cands = Dedup.minhashCandidatesFromSigs(sigs,
+          numHashes = 64, bands = 32, minJaccard = 0.0)
+        .select("id_a", "id_b")
+      Dedup.ngramJaccard(cands, corpus, "doc_id", "text", k = 5)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
     "d_simhash" -> ((s, dir) => {
       // SimHash banding pipeline, deterministically checkable: banded
       // candidates at Hamming ≤ 3, verified down to pairs with EQUAL
@@ -627,6 +644,26 @@ object SparkEntry {
          |    / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
          |  FROM g a, g b WHERE a.id < b.id
          |    -- sound prefilter: J >= 0.8 implies min/max set sizes >= 0.8
+         |    AND len(a.grams) >= 0.8 * len(b.grams)
+         |    AND len(b.grams) >= 0.8 * len(a.grams))
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    // identical result contract to d_minhash — the staged path must not
+    // change the verified pair set, only the plan shape
+    "d_minhash_staged" ->
+      s"""WITH $NearDupCorpusSql,
+         |g AS (SELECT id,
+         |  list_distinct(list_transform(
+         |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         |    ELSE list_transform(range(1, len(w) - 3),
+         |      i -> array_to_string(w[i:i+4], ' ')) END,
+         |    s -> hash(s))) AS grams
+         |  FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+         |        FROM corpus)),
+         |j AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |    / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+         |  FROM g a, g b WHERE a.id < b.id
          |    AND len(a.grams) >= 0.8 * len(b.grams)
          |    AND len(b.grams) >= 0.8 * len(a.grams))
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8

@@ -91,6 +91,51 @@ object Ivf {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    // corpus: one codegen projection assigns the cell — no shuffle
+    val c = corpus.select(
+      F.col(idCol).cast("string").as("neighbor_id"),
+      F.col(vecCol).as("cv"),
+      NearestCell(F.col(vecCol), centroids).as("cell"))
+    rankTopK(probeCells(queries, idCol, vecCol, centroids, nprobe), c, k)
+  }
+
+  /** Materialize the corpus as an IVF index: parquet PARTITIONED BY the
+    * assigned cell. This is the 100 TB layout — a probe then reads only
+    * the probed cells' files (static partition pruning), instead of
+    * joining the whole corpus on the cell column. */
+  def writeIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], path: String): Unit =
+    corpus.select(
+        F.col(idCol).cast("string").as("neighbor_id"),
+        F.col(vecCol).cast("array<double>").as("cv"),
+        NearestCell(F.col(vecCol), centroids).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Approximate top-k against a [[writeIndex]] table: the distinct
+    * probed cells (≤ min(queries × nprobe, #centroids) values — driver-
+    * bounded by construction) become a static `cell IN (...)` predicate
+    * on the partitioned scan, so only those cells' files are listed and
+    * read — verify with `.explain` (PartitionFilters) or `inputFiles`. */
+  def topKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val probes = probeCells(queries, idCol, vecCol, centroids, nprobe)
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pruned = spark.read.parquet(indexPath)
+      .filter(F.col("cell").isin(cells.map(Integer.valueOf): _*))
+    rankTopK(probes, pruned, k)
+  }
+
+  /** Per-query probe list `(query_id, qv, cell)`: rank all centroids by
+    * dot product (centroid count is small by the IVF contract), keep the
+    * `nprobe` best. Enforces the broadcast cap on the query set. */
+  private def probeCells(
+      queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= centroids.length,
       "nprobe must be in [1, k-centroids]")
     val qProbe = queries.limit(MaxBroadcastQueries + 1).count()
@@ -98,31 +143,28 @@ object Ivf {
       s"Ivf.topK broadcasts the query set (× nprobe probes); got more " +
         s"than $MaxBroadcastQueries query rows — swap sides or use a " +
         s"shuffle join on the cell column for query sets this large")
-    // corpus: one codegen projection assigns the cell — no shuffle
-    val c = corpus.select(
-      F.col(idCol).cast("string").as("neighbor_id"),
-      F.col(vecCol).as("cv"),
-      NearestCell(F.col(vecCol), centroids).as("cell"))
-    // queries: rank all k cells by dot (k is small), keep nprobe
-    val centDf = centroids.zipWithIndex.map { case (cv, i) =>
-      (i, cv.toSeq)
-    }.toSeq
-    val q0 = queries.select(
-      F.col(idCol).cast("string").as("query_id"), F.col(vecCol).as("qv"))
     val spark = queries.sparkSession
     import spark.implicits._
-    val cents = centDf.toDF("cell", "centroid")
+    val cents = centroids.zipWithIndex.map { case (cv, i) =>
+      (i, cv.toSeq)
+    }.toSeq.toDF("cell", "centroid")
+    val q0 = queries.select(
+      F.col(idCol).cast("string").as("query_id"), F.col(vecCol).as("qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(F.col("_dot").desc, F.col("cell"))
-    val probes = q0.crossJoin(F.broadcast(cents))
+    q0.crossJoin(F.broadcast(cents))
       .withColumn("_dot",
         graft.functions.DotProduct(F.col("qv"), F.col("centroid")))
       .withColumn("_r", F.row_number().over(w))
       .filter(F.col("_r") <= nprobe)
       .select(F.col("query_id"), F.col("qv"), F.col("cell"))
+  }
 
-    val scored = F.broadcast(probes).join(c, Seq("cell"))
+  /** Score the probed corpus rows and keep each query's top k. */
+  private def rankTopK(
+      probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = F.broadcast(probes).join(corpus, Seq("cell"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         F.round(Similarity.cosine(F.col("qv"), F.col("cv")), 6)

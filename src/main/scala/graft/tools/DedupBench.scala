@@ -68,6 +68,26 @@ object DedupBench {
         Dedup.minhashCandidates(docs, "doc_id", "text",
           numHashes = 64, bands = 16, minJaccard = 0.7).count()
       },
+      // the 10^12-scale shape measured as the 10^12-scale shape:
+      // signatures computed ONCE and materialized to a parquet staging
+      // table; banding AND the verify join then read the staging table —
+      // no signature recompute (vs the one-shot path above, which
+      // rebuilds the signature plan for its verify join)
+      time("minhash_staged") {
+        val sigDir = s"/tmp/graft_dedup_bench/sigs=$nDocs"
+        Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 64)
+          .write.mode("overwrite").parquet(sigDir)
+        val sigs = spark.read.parquet(sigDir)
+        Dedup.minhashCandidatesFromSigs(sigs,
+          numHashes = 64, bands = 16, minJaccard = 0.7).count()
+      },
+      // group assembly over the staged candidates: pairs → components
+      time("cc_groups") {
+        val sigs = spark.read.parquet(s"/tmp/graft_dedup_bench/sigs=$nDocs")
+        val pairs = Dedup.minhashCandidatesFromSigs(sigs,
+          numHashes = 64, bands = 16, minJaccard = 0.7)
+        graft.ops.ConnectedComponents.groups(pairs).count()
+      },
       time("simhash") {
         Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
           .count()
@@ -83,10 +103,24 @@ object DedupBench {
           .agg(F.count(F.lit(1))).head(); nDocs
       })
 
+    // planted-pair recall of the staged path: every i ≡ 1 (mod 10)
+    // plants the pair (i-1, i); recall must be 1.0 on this corpus
+    val expected = (nDocs - 2) / 10 + 1
+    val plantedFound = {
+      val sigs = spark.read.parquet(s"/tmp/graft_dedup_bench/sigs=$nDocs")
+      val planted = spark.range(0L, nDocs).filter($"id" % 10 === 1)
+        .select(($"id" - 1).cast("string").as("id_a"),
+          $"id".cast("string").as("id_b"))
+      Dedup.minhashCandidatesFromSigs(sigs,
+          numHashes = 64, bands = 16, minJaccard = 0.7)
+        .join(planted, Seq("id_a", "id_b"), "left_semi").count()
+    }
+    val recall = plantedFound.toDouble / expected
+
     val fields = results.map { case (w, secs, found) =>
       f""""$w":{"sec":$secs%.2f,"docs_per_sec":${nDocs / secs}%.0f,"found":$found}"""
     }.mkString(",")
-    println(s"""{"dedup_bench":{"n_docs":$nDocs,"cpus":$cpus,$fields}}""")
+    println(f"""{"dedup_bench":{"n_docs":$nDocs,"cpus":$cpus,$fields,"planted_recall":$recall%.4f}}""")
     spark.stop()
   }
 }

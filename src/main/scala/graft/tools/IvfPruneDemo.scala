@@ -1,0 +1,98 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+
+import graft.ops.Ivf
+
+/**
+ * IVF storage-pruning evidence (VERDICT r2 next-round #6): build a
+ * cell-partitioned index with [[Ivf.writeIndex]], probe it with
+ * [[Ivf.topKFromIndex]], and record that the scan reads ONLY the probed
+ * cells — PartitionFilters in the plan plus the actual file count —
+ * into `BENCH/IVF_PRUNING.md`.
+ * Run: `sbt "runMain graft.tools.IvfPruneDemo [nVecs] [kCells] [nprobe]"`.
+ */
+object IvfPruneDemo {
+  def main(args: Array[String]): Unit = {
+    val nVecs = args.headOption.map(_.toLong).getOrElse(100000L)
+    val kCells = args.lift(1).map(_.toInt).getOrElse(32)
+    val nprobe = args.lift(2).map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-ivf-prune")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dim = 16
+    // deterministic corpus: unit-ish vectors spread across directions
+    val corpus = spark.range(nVecs).selectExpr(
+      "cast(id as string) as vec_id",
+      s"transform(sequence(0, ${dim - 1}), i -> " +
+        "cos(cast(id as double) * (cast(i as double) + 1.0) * 0.7)) as v")
+    val centroids = Ivf.fitKMeans(
+      corpus.sample(0.1, 42L), "v", kCells, seed = 42L)
+
+    val dir = "/tmp/graft_ivf_index"
+    Ivf.writeIndex(corpus, "vec_id", "v", centroids, dir)
+    val allFiles = spark.read.parquet(dir).inputFiles.length
+
+    val nQueries = 2
+    val queries = corpus.filter(F.col("vec_id").cast("long") < nQueries)
+    val res = Ivf.topKFromIndex(spark, queries, dir, "vec_id", "v",
+      k = 5, centroids, nprobe = nprobe)
+    res.collect() // execute THIS QueryExecution so scan metrics populate
+
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec       => scans(qs.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other                    => other.children.flatMap(scans)
+    }
+    val readFiles = scans(res.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    val planLine = res.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n").trim
+
+    val md =
+      f"""# IVF storage-level pruning evidence
+         |
+         |`Ivf.writeIndex` writes the corpus parquet PARTITIONED BY `cell`
+         |(nearest of $kCells k-means centroids, assigned by the codegen
+         |`NearestCell` projection — no shuffle). `Ivf.topKFromIndex` turns
+         |the probed cells into a static `cell IN (...)` predicate, so the
+         |scan lists and reads ONLY those cells' files — the difference
+         |between touching nprobe/k of a 100 TB corpus and all of it.
+         |
+         || quantity | value |
+         || --- | --- |
+         || corpus | $nVecs vectors, dim $dim, $kCells cells |
+         || index files total | $allFiles |
+         || files read by a $nQueries-query, nprobe=$nprobe probe | $readFiles |
+         || read fraction | ${readFiles.toDouble / allFiles}%.3f |
+         |
+         |Executed-plan scan node (partition filter pushed to the file
+         |index):
+         |
+         |```
+         |$planLine
+         |```
+         |
+         |Reproduce: `sbt "runMain graft.tools.IvfPruneDemo $nVecs $kCells $nprobe"`.
+         |Correctness: OpsSpec "IVF index: probe scan prunes to the probed
+         |cells' files" asserts file-level pruning AND result equality with
+         |the in-session `Ivf.topK` join path.
+         |""".stripMargin
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/IVF_PRUNING.md"), md)
+    println(md)
+    spark.stop()
+  }
+}

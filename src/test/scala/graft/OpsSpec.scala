@@ -60,6 +60,65 @@ class OpsSpec extends SparkSpec {
     assert(pairs.filter($"id_a" === "doc-00000").count() == (n - 1).toLong)
   }
 
+  test("IVF index: probe scan prunes to the probed cells' files") {
+    import graft.ops.Ivf
+    // 8 one-hot centroids; corpus vectors sit exactly on them, so cell
+    // assignment is unambiguous and the probe set is known in advance
+    val dim = 8
+    val centroids = (0 until 8).map { j =>
+      Array.tabulate(dim)(i => if (i == j) 1.0 else 0.0)
+    }.toArray
+    val corpus = spark.range(64).selectExpr(
+      "cast(id as string) as vec_id",
+      s"transform(sequence(0, ${dim - 1}), " +
+        "i -> case when i = cast(id % 8 as int) then 1.0 " +
+        "else cast(id as double) / 1000.0 end) as v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString + "/index"
+    Ivf.writeIndex(corpus, "vec_id", "v", centroids, dir)
+
+    // query = e0, nprobe 2 → probes cells {0, 1} (dot ties break by cell)
+    val q = Seq(("q0", (0 until dim).map(i =>
+      if (i == 0) 1.0 else 0.0))).toDF("vec_id", "v")
+    val res = Ivf.topKFromIndex(spark, q, dir, "vec_id", "v", k = 3,
+      centroids, nprobe = 2)
+    // execute THIS QueryExecution (count() would plan a separate one and
+    // leave res's scan metrics untouched)
+    val resRows = res.collect()
+    assert(resRows.nonEmpty)
+
+    // the scan carries the static partition filter on cell…
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("cell#") && plan.contains("IN (0,1)"),
+      plan.take(3000))
+    // …and the numFiles metric proves FILE-LEVEL pruning: only the two
+    // probed cells' files were listed and read
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec       => scans(qs.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other                    => other.children.flatMap(scans)
+    }
+    def countFiles(sub: String): Long = {
+      val d = new java.io.File(dir, sub)
+      d.listFiles((_, n) => n.endsWith(".parquet")).length.toLong
+    }
+    val readFiles =
+      scans(res.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    val probedFiles = countFiles("cell=0") + countFiles("cell=1")
+    val allFiles = (0 until 8).map(c => countFiles(s"cell=$c")).sum
+    assert(readFiles == probedFiles && probedFiles < allFiles,
+      s"read=$readFiles probed=$probedFiles all=$allFiles")
+
+    // same answer as the in-session join path on identical inputs
+    val direct = Ivf.topK(q, corpus, "vec_id", "v", k = 3,
+      centroids, nprobe = 2)
+    assert(res.collect().toSet == direct.collect().toSet)
+  }
+
   test("connected components: chains close transitively in O(log n)") {
     import graft.ops.ConnectedComponents
     // path graph of 65 nodes: plain label propagation needs 64 rounds;
