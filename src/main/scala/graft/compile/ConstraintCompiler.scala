@@ -302,9 +302,16 @@ object ConstraintCompiler {
     case MultipleOf(_, col, k) =>
       // Exact decimal remainder — avoids the float-tolerance trap on
       // cases like 0.0075 % 0.0001 (cf. multipleOf.json in the suite).
+      // Magnitudes past decimal(38,12) range (suite float-overflow case:
+      // 1e308 multipleOf 0.123456789) fall back to double remainder
+      // instead of an ANSI cast-overflow task failure.
       val v = res(col, scope)
+      val exact =
+        F.pmod(v.cast("decimal(38,12)"), F.lit(k.bigDecimal)) === F.lit(0)
+      val approx =
+        F.pmod(v.cast("double"), F.lit(k.toDouble)) === F.lit(0.0)
       nullPasses(v,
-        F.pmod(v.cast("decimal(38,12)"), F.lit(k.bigDecimal)) === F.lit(0))
+        F.when(F.abs(v.cast("double")) < 1e25, exact).otherwise(approx))
 
     case LengthBounds(_, col, mn, mx) =>
       val v = res(col, scope)

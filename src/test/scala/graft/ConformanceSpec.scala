@@ -25,7 +25,11 @@ class ConformanceSpec extends SparkSpec {
       nullable = true),
     StructField("n_tok", IntegerType, nullable = true),
     StructField("source", StringType, nullable = true),
-    StructField("attrs", MapType(StringType, StringType), nullable = true)))
+    StructField("attrs", MapType(StringType, StringType), nullable = true),
+    // round-3 suite-port columns: fractional numerics (multipleOf /
+    // bounds float traps) and free text (unicode pattern / length)
+    StructField("score", DoubleType, nullable = true),
+    StructField("text", StringType, nullable = true)))
 
   private def rowFrom(n: JsonNode): Row = Row(
     Option(n.get("doc_id")).filterNot(_.isNull).map(_.asText()).orNull,
@@ -36,7 +40,10 @@ class ConformanceSpec extends SparkSpec {
     Option(n.get("source")).filterNot(_.isNull).map(_.asText()).orNull,
     Option(n.get("attrs")).filterNot(_.isNull)
       .map(o => o.properties().asScala
-        .map(e => e.getKey -> e.getValue.asText()).toMap).orNull)
+        .map(e => e.getKey -> e.getValue.asText()).toMap).orNull,
+    Option(n.get("score")).filterNot(_.isNull)
+      .map(v => Double.box(v.asDouble())).orNull,
+    Option(n.get("text")).filterNot(_.isNull).map(_.asText()).orNull)
 
   test("conformance corpus: every case matches its golden verdict") {
     val in = getClass.getClassLoader
@@ -46,7 +53,12 @@ class ConformanceSpec extends SparkSpec {
     var passed, failed = 0
     val failures = Seq.newBuilder[String]
 
-    corpus.elements().asScala.foreach { c =>
+    corpus.elements().asScala
+      // the "SKIP-LIST" entry documents non-portable official-suite
+      // groups (dynamicRef, value-type type.json cases, …) and carries
+      // no tests
+      .filter(c => c.get("tests").size() > 0)
+      .foreach { c =>
       val desc = c.get("description").asText()
       val constraints = c.get("constraints").elements().asScala
         .map(ConstraintJson.parseConstraint).toSeq
@@ -66,6 +78,6 @@ class ConformanceSpec extends SparkSpec {
     info(s"conformance: $passed passed, $failed failed " +
       f"(${100.0 * passed / (passed + failed)}%.1f%% pass rate)")
     assert(failed == 0, failures.result().mkString("\n"))
-    assert(passed >= 60, "corpus unexpectedly small")
+    assert(passed >= 200, "corpus unexpectedly small")
   }
 }
