@@ -110,10 +110,15 @@ object Scaling {
   }
 
   private def session(cpus: Int): SparkSession = {
+    // default: one shuffle partition per core (measured best here — a
+    // 2-wave layout added ~20% wall clock at local[32]); override for
+    // experiments via GRAFT_SHUFFLE_PARTITIONS
+    val shufflePartitions = sys.env.getOrElse(
+      "GRAFT_SHUFFLE_PARTITIONS", cpus.toString)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       // Split the scan fine enough that the WIDEST level gets multiple
       // task waves: the default 128 MB packs this ~0.9 GB input into ~8

@@ -59,6 +59,20 @@ final case class CompiledSuite(
  * Null semantics: like JSON Schema keyword applicability, every leaf
  * check PASSES on a null value except [[Constraint.NotNull]] — a missing
  * value is `required`'s job, not `maximum`'s.
+ *
+ * Dialects: the reference pins FIVE JSON-Schema drafts side by side
+ * (Draft4Runner…Draft2020Runner), with per-draft keyword forms — e.g.
+ * draft-4's boolean-form `exclusiveMinimum`, draft-2019's
+ * `additionalItems` vs 2020-12's `prefixItems`+`items`. This DSL is
+ * deliberately SINGLE-dialect: it is a constraint language whose
+ * semantics follow draft 2020-12 where a keyword has a JSON-Schema
+ * ancestor (the conformance corpus pins them), and draft differences are
+ * a translation concern for whoever maps a legacy schema onto the DSL —
+ * `Bounds(exclusiveMin = true)` expresses BOTH the draft-4 boolean form
+ * and the 2020-12 numeric form, `EachElementFrom` expresses both
+ * `additionalItems` and items-after-prefixItems. Regex semantics are
+ * Java's, not ECMA-262 — deltas documented at the `Matches` lowering
+ * (SURVEY §7.4 #3).
  */
 object ConstraintCompiler {
 
