@@ -66,14 +66,28 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // order-free set checksum: bit_xor of row hashes (sum would hit
+      // ANSI long-overflow); rows are distinct so xor-cancellation of
+      // duplicates cannot occur
+      val r = e.select(F.xxhash64(F.col("u"), F.col("v")).as("_h"))
+        .agg(F.count(F.lit(1)), F.coalesce(F.expr("bit_xor(_h)"), F.lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
     var converged = false
     var iter = 0
+    var fp = fingerprint(edges)
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // stable = identical edge sets (both are distinct projections)
-      converged =
-        next.count() == edges.count() &&
-          next.exceptAll(edges).isEmpty
+      // cheap per-round check: (count, order-free xxhash64 checksum) —
+      // one aggregate job instead of an exceptAll anti-join per round;
+      // when it signals stability, confirm EXACTLY once with exceptAll
+      // (both sides are distinct projections)
+      val nfp = fingerprint(next)
+      converged = nfp == fp && next.exceptAll(edges).isEmpty
+      fp = nfp
       edges = next
       iter += 1
     }

@@ -92,6 +92,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components agree with union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // reference: classic driver-side union-find with path compression
+    def unionFind(edges: Seq[(String, String)]): Map[String, String] = {
+      val parent = scala.collection.mutable.Map[String, String]()
+      def find(x: String): String = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.Ordering.String.max(ra, rb)) = math.Ordering.String.min(ra, rb)
+      }
+      // root label must be the component MIN, which min-directed unions give
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val genEdges = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1)
+        b <- Gen.choose(0, n - 1)
+      } yield (f"v$a%02d", f"v$b%02d"))
+    } yield es
+    (1 to 8).foreach { i =>
+      val edges = genEdges(Gen.Parameters.default, Seed(1000L + i)).get
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val expected = unionFind(edges)
+        val got = graft.ops.ConnectedComponents.groups(
+            edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(got == expected, s"seed=${1000 + i} edges=$edges")
+      }
+    }
+  }
+
   test("fast path and detail path agree on validity") {
     val ds = SequenceGen.generate(spark, 30000L, nSources = 4,
       numPartitions = 8).toDF()
