@@ -104,12 +104,24 @@ object ConstraintCompiler {
   //                   (covers both `#/$defs/x` location addressing and
   //                   `$anchor` name addressing: constraint ids ARE the
   //                   anchors of this DSL)
-  //   "#cid"        — fragment within the suite being compiled
-  // `$dynamicRef`/`$recursiveRef` are a DOCUMENTED SKIP: the DSL has no
-  // dynamic scope — every ref resolves statically at compile time, so a
-  // dynamic-anchor override chain cannot be expressed (reference:
-  // Draft2020Runner.java:62, Draft2019Runner.java:93; skip-list
-  // precedent: Draft2020Runner.java:196-201).
+  //   "#cid"        — fragment within the LEXICALLY enclosing suite (the
+  //                   suite whose body the ref text sits in — $ref is
+  //                   lexically scoped; at top level that is the suite
+  //                   being compiled)
+  //
+  // `$dynamicRef` (reference coverage: dynamicRef.json,
+  // Draft2020Runner.java:62) resolves in two steps, mirroring 2020-12
+  // core §8.2.3.2: (1) resolve the `#anchor` fragment lexically like a
+  // plain $ref; (2) if — and only if — that lexical target DECLARES the
+  // anchor in its `dynamicAnchors` (the bookending requirement), rescan
+  // the DYNAMIC scope outermost-first and use the first suite that both
+  // declares and defines the anchor. Static inlining makes this exact:
+  // each inline site is reached through precisely one chain of entered
+  // suites, and that chain IS the dynamic scope at evaluation time.
+  // 2019-09's `$recursiveRef` is the one-anchor special case. Recursive
+  // chains (a schema re-entered while still being inlined) raise the
+  // descriptive cycle error — data nesting is bounded by the Spark column
+  // type, so recursive schemas must be unrolled to that depth.
   // ------------------------------------------------------------------
 
   private def resolveRefs(
@@ -123,58 +135,105 @@ object ConstraintCompiler {
       found
     }
 
-    def resolveTarget(name: String): Seq[Constraint] = {
+    // name → (lexically-resolved target suite, optional fragment id)
+    def target(name: String,
+        lexical: ConstraintSuite): (ConstraintSuite, Option[String]) = {
       val (suiteName, frag) = name.indexOf('#') match {
         case -1 => (name, None)
         case i  => (name.take(i), Some(name.drop(i + 1)))
       }
-      val target =
-        if (suiteName.isEmpty) suite // "#cid": self-fragment
+      val t =
+        if (suiteName.isEmpty) lexical
         else reg.resolve(suiteName).getOrElse(throw new CompileException(
           s"Schema compilation failed: unresolved ref '$name'"))
-      frag match {
-        case None => target.constraints
-        case Some(cid) =>
-          Seq(findFragment(target, cid).getOrElse(throw new CompileException(
-            s"Schema compilation failed: unresolved fragment '#$cid' " +
-              s"in '${target.id}' (ref '$name')")))
-      }
+      (t, frag)
     }
 
-    def go(c: Constraint, visiting: Set[String]): Constraint = c match {
-      case Ref(id, name) =>
-        if (visiting.contains(name))
-          throw new CompileException(
-            s"Schema compilation failed: cyclic ref '$name'")
-        // A referenced suite/fragment inlines as the conjunction of its
-        // constraints, re-rooted under the Ref's own id.
-        AllOf(id, resolveTarget(name).map(go(_, visiting + name)))
-      case AllOf(id, cs)   => AllOf(id, cs.map(go(_, visiting)))
-      case AnyOf(id, cs)   => AnyOf(id, cs.map(go(_, visiting)))
-      case OneOf(id, cs)   => OneOf(id, cs.map(go(_, visiting)))
-      case Not(id, c0)     => Not(id, go(c0, visiting))
-      case IfThen(id, i, t, e) =>
-        IfThen(id, go(i, visiting), go(t, visiting), e.map(go(_, visiting)))
-      case EachElement(id, col, e) => EachElement(id, col, go(e, visiting))
-      case EachElementFrom(id, col, st, e) =>
-        EachElementFrom(id, col, st, go(e, visiting))
-      case EachKey(id, col, e) => EachKey(id, col, go(e, visiting))
-      case ContainsCount(id, col, e, mn, mx) =>
-        ContainsCount(id, col, go(e, visiting), mn, mx)
-      case PrefixItems(id, col, es) =>
-        PrefixItems(id, col, es.map(go(_, visiting)))
-      case PropertyValues(id, col, k, e) =>
-        PropertyValues(id, col, k, go(e, visiting))
-      case PatternValues(id, col, p, e) =>
-        PatternValues(id, col, p, go(e, visiting))
-      case UnevaluatedItems(id, col, e) =>
-        UnevaluatedItems(id, col, go(e, visiting))
-      case UnevaluatedProperties(id, col, e, ks, ps) =>
-        UnevaluatedProperties(id, col, go(e, visiting), ks, ps)
-      case other => other
+    def fragment(t: ConstraintSuite, cid: String, name: String): Constraint =
+      findFragment(t, cid).getOrElse(throw new CompileException(
+        s"Schema compilation failed: unresolved fragment '#$cid' " +
+          s"in '${t.id}' (ref '$name')"))
+
+    // `visiting` keys on RESOLVED identity (suite or suite#fragment) so
+    // same-named self-fragments in different suites don't false-cycle;
+    // `scope` is the dynamic scope — suites entered so far, outermost
+    // first; `lexical` is the suite whose body is being walked.
+    def go(c: Constraint, visiting: Set[String],
+        scope: List[ConstraintSuite],
+        lexical: ConstraintSuite): Constraint = {
+      def enter(t: ConstraintSuite): List[ConstraintSuite] =
+        if (scope.exists(_.id == t.id)) scope else scope :+ t
+      c match {
+        case Ref(id, name) =>
+          val (t, frag) = target(name, lexical)
+          val key = frag.fold(t.id)(cid => s"${t.id}#$cid")
+          if (visiting.contains(key))
+            throw new CompileException(
+              s"Schema compilation failed: cyclic ref '$name'")
+          // A referenced suite/fragment inlines as the conjunction of its
+          // constraints, re-rooted under the Ref's own id.
+          val body = frag match {
+            case None      => t.constraints
+            case Some(cid) => Seq(fragment(t, cid, name))
+          }
+          AllOf(id, body.map(go(_, visiting + key, enter(t), t)))
+        case DynamicRef(id, name) =>
+          if (!name.contains('#') || name.endsWith("#"))
+            throw new CompileException("Schema compilation failed: " +
+              s"dynamicRef '$name' must address a '#anchor' fragment")
+          val (lexT, frag) = target(name, lexical)
+          val anchor = frag.get
+          val chosen =
+            if (!lexT.dynamicAnchors.contains(anchor)) lexT // bookending
+            else enter(lexT).find(s =>
+              s.dynamicAnchors.contains(anchor) &&
+                findFragment(s, anchor).isDefined).getOrElse(lexT)
+          val key = s"${chosen.id}#$anchor"
+          if (visiting.contains(key))
+            throw new CompileException(
+              s"Schema compilation failed: cyclic ref '$name' " +
+                "(recursive $dynamicRef — unroll to the column's " +
+                "nesting depth)")
+          AllOf(id, Seq(go(fragment(chosen, anchor, name),
+            visiting + key, enter(chosen), chosen)))
+        case Defs(id, _) =>
+          // definitions assert nothing; fragments inside them resolve
+          // against the ORIGINAL suites, so the body need not survive
+          BoolSchema(id, true)
+        case AllOf(id, cs) => AllOf(id, cs.map(go(_, visiting, scope, lexical)))
+        case AnyOf(id, cs) => AnyOf(id, cs.map(go(_, visiting, scope, lexical)))
+        case OneOf(id, cs) => OneOf(id, cs.map(go(_, visiting, scope, lexical)))
+        case Not(id, c0)   => Not(id, go(c0, visiting, scope, lexical))
+        case IfThen(id, i, t, e) =>
+          IfThen(id, go(i, visiting, scope, lexical),
+            go(t, visiting, scope, lexical),
+            e.map(go(_, visiting, scope, lexical)))
+        case EachElement(id, col, e) =>
+          EachElement(id, col, go(e, visiting, scope, lexical))
+        case EachElementFrom(id, col, st, e) =>
+          EachElementFrom(id, col, st, go(e, visiting, scope, lexical))
+        case EachKey(id, col, e) =>
+          EachKey(id, col, go(e, visiting, scope, lexical))
+        case ContainsCount(id, col, e, mn, mx) =>
+          ContainsCount(id, col, go(e, visiting, scope, lexical), mn, mx)
+        case PrefixItems(id, col, es) =>
+          PrefixItems(id, col, es.map(go(_, visiting, scope, lexical)))
+        case PropertyValues(id, col, k, e) =>
+          PropertyValues(id, col, k, go(e, visiting, scope, lexical))
+        case PatternValues(id, col, p, e) =>
+          PatternValues(id, col, p, go(e, visiting, scope, lexical))
+        case UnevaluatedItems(id, col, e) =>
+          UnevaluatedItems(id, col, go(e, visiting, scope, lexical))
+        case UnevaluatedProperties(id, col, e, ks, ps) =>
+          UnevaluatedProperties(id, col,
+            go(e, visiting, scope, lexical), ks, ps)
+        case other => other
+      }
     }
     ConstraintSuite(suite.id,
-      suite.constraints.map(go(_, Set(suite.id))))
+      suite.constraints.filterNot(_.isInstanceOf[Defs])
+        .map(go(_, Set(suite.id), List(suite), suite)),
+      suite.dynamicAnchors)
   }
 
   // ------------------------------------------------------------------
@@ -493,8 +552,10 @@ object ConstraintCompiler {
         .otherwise(e.map(lowerPred(_, scope)).getOrElse(F.lit(true)))
     case BoolSchema(_, v) => F.lit(v)
 
-    case _: Ref =>
-      throw new CompileException("unresolved Ref survived resolution")
+    case _: Ref | _: DynamicRef =>
+      throw new CompileException("unresolved ref survived resolution")
+    case _: Defs =>
+      F.lit(true) // definitions-only container: asserts nothing
     case _: Unique | _: RefIntegrity | _: NoDrift | _: NoArrayDrift =>
       throw new CompileException(
         s"dataset-level constraint '${c.id}' cannot be row-lowered")
@@ -742,7 +803,9 @@ object ConstraintCompiler {
       s"if (${expectedOf(i)}) then (${expectedOf(t)})" +
         e.map(x => s" else (${expectedOf(x)})").getOrElse("")
     case BoolSchema(_, v) => if (v) "true" else "false"
-    case Ref(_, name)     => s"ref $name"
+    case Ref(_, name)        => s"ref $name"
+    case DynamicRef(_, name) => s"dynamicRef $name"
+    case Defs(_, _)          => "true"
     case Unique(_, col)   => s"$col unique across dataset"
     case RefIntegrity(_, col, dn, dc) => s"$col exists in $dn.$dc"
     case NoDrift(_, col, _, _, _, m, t, _) => s"$m($col) <= $t"

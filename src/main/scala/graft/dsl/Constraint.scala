@@ -238,6 +238,29 @@ object Constraint {
     * `infinite-loop-detection.json`, Draft2020Runner.java:80). */
   final case class Ref(id: String, name: String) extends Constraint
 
+  /** `$defs` — a named container of referenceable definitions. Children
+    * are addressable as fragments (`#cid`, `suite#cid`) exactly like any
+    * other constraint, but the container itself asserts NOTHING: top-level
+    * `Defs` are dropped at compile time and nested ones lower to `true`
+    * (2020-12 `$defs` likewise contributes no assertions of its own). */
+  final case class Defs(id: String, cs: Seq[Constraint]) extends Constraint
+
+  /** `$dynamicRef` — like [[Ref]], but the `#anchor` fragment re-resolves
+    * against the DYNAMIC scope: the outermost suite entered on the way to
+    * this reference that declares `anchor` in
+    * [[ConstraintSuite.dynamicAnchors]] wins (2020-12 core §8.2.3.2,
+    * exercised by the reference via `dynamicRef.json`,
+    * Draft2020Runner.java:62). Because this compiler resolves refs by
+    * static inlining, the dynamic scope at every inline site IS the
+    * statically-known chain of entered suites, so the override semantics
+    * compile exactly; bookending applies (a lexical target that does not
+    * DECLARE the anchor dynamic degrades this to a plain [[Ref]]).
+    * 2019-09's `$recursiveRef`/`$recursiveAnchor` is the special case of a
+    * single distinguished anchor name. Recursive chains still raise the
+    * cycle error: data nesting is bounded by the Spark column type, so a
+    * recursive schema must be unrolled to that depth by the author. */
+  final case class DynamicRef(id: String, name: String) extends Constraint
+
   // ----------------------------------------------------------------
   // Dataset-level constraints (north-rule extensions, SURVEY.md §2.C)
   // ----------------------------------------------------------------
@@ -301,6 +324,7 @@ object Constraint {
       case PatternValues(_, _, _, e)   => walk(e)(f)
       case UnevaluatedItems(_, _, e)   => walk(e)(f)
       case UnevaluatedProperties(_, _, e, _, _) => walk(e)(f)
+      case Defs(_, cs)           => cs.foreach(walk(_)(f))
       case _                     => ()
     }
   }
@@ -309,5 +333,11 @@ object Constraint {
 /**
  * A named set of constraints — the unit of compilation, mirroring one
  * JSON Schema document. `id` doubles as the registry key ($id).
+ * `dynamicAnchors` lists the constraint ids this suite exposes as
+ * `$dynamicAnchor`s — candidates for [[Constraint.DynamicRef]] override
+ * resolution (a plain fragment ref ignores the flag).
  */
-final case class ConstraintSuite(id: String, constraints: Seq[Constraint])
+final case class ConstraintSuite(
+    id: String,
+    constraints: Seq[Constraint],
+    dynamicAnchors: Seq[String] = Nil)

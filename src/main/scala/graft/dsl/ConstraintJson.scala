@@ -36,7 +36,9 @@ object ConstraintJson {
     require(root.isObject, "suite must be a JSON object")
     val id = str(root, "id")
     val cs = arr(root, "constraints").map(parseConstraint)
-    ConstraintSuite(id, cs)
+    val dyn = Option(root.get("dynamicAnchors"))
+      .map(_ => strArr(root, "dynamicAnchors")).getOrElse(Nil)
+    ConstraintSuite(id, cs, dyn)
   }
 
   def parseConstraint(n: JsonNode): Constraint = {
@@ -109,6 +111,8 @@ object ConstraintJson {
           Option(n.get("else")).filterNot(_.isNull).map(parseConstraint))
       case "boolSchema" => BoolSchema(id, n.get("value").asBoolean())
       case "ref"        => Ref(id, str(n, "name"))
+      case "dynamicRef" => DynamicRef(id, str(n, "name"))
+      case "defs"       => Defs(id, arr(n, "cs").map(parseConstraint))
       case "unique"     => Unique(id, str(n, "col"))
       case "refIntegrity" =>
         RefIntegrity(id, str(n, "col"), str(n, "dimName"), str(n, "dimCol"))
@@ -135,6 +139,9 @@ object ConstraintJson {
     root.put("id", s.id)
     val a = root.putArray("constraints")
     s.constraints.foreach(c => a.add(toNode(c)))
+    if (s.dynamicAnchors.nonEmpty) {
+      val d = root.putArray("dynamicAnchors"); s.dynamicAnchors.foreach(d.add)
+    }
     mapper.writeValueAsString(root)
   }
 
@@ -225,7 +232,11 @@ object ConstraintJson {
         o.put("kind", "ifThen"); o.set("cond", toNode(i)); o.set("then", toNode(t))
         e.foreach { x => o.set[ObjectNode]("else", toNode(x)); () }
       case BoolSchema(_, v) => o.put("kind", "boolSchema").put("value", v)
-      case Ref(_, name)     => o.put("kind", "ref").put("name", name)
+      case Ref(_, name)        => o.put("kind", "ref").put("name", name)
+      case DynamicRef(_, name) => o.put("kind", "dynamicRef").put("name", name)
+      case Defs(_, cs) =>
+        o.put("kind", "defs")
+        val a = o.putArray("cs"); cs.foreach(x => a.add(toNode(x)))
       case Unique(_, col)   => o.put("kind", "unique").put("col", col)
       case RefIntegrity(_, col, dn, dc) =>
         o.put("kind", "refIntegrity").put("col", col)

@@ -62,8 +62,18 @@ class ConformanceSpec extends SparkSpec {
       val desc = c.get("description").asText()
       val constraints = c.get("constraints").elements().asScala
         .map(ConstraintJson.parseConstraint).toSeq
+      // optional cross-suite context: a per-case registry of referenced
+      // suites plus the case's own $dynamicAnchor declarations — the
+      // corpus form of the official suite's `$defs`/remote-schema blocks
+      val registry = graft.registry.ConstraintRegistry.empty
+      Option(c.get("registry")).foreach(_.elements().asScala.foreach { s =>
+        val st = ConstraintJson.suiteFromNode(s)
+        registry.register(st.id, st)
+      })
+      val anchors = Option(c.get("dynamicAnchors"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
       val suite = ConstraintCompiler.compile(
-        ConstraintSuite(desc, constraints))
+        ConstraintSuite(desc, constraints, anchors), registry)
       c.get("tests").elements().asScala.foreach { t =>
         val tdesc = t.get("description").asText()
         val expected = t.get("valid").asBoolean()

@@ -250,8 +250,110 @@ class KeywordSpec extends SparkSpec {
         LengthBounds("l", "$", None, Some(10))),
       PatternValues("pat", "attrs", "^x-", TypeIs("t", "$", "integer")),
       UnevaluatedItems("ui", "xs", Bounds("b", "$", None, Some(2))),
-      UnevaluatedProperties("up", "attrs", BoolSchema("f", false))))
+      UnevaluatedProperties("up", "attrs", BoolSchema("f", false)),
+      Defs("d", Seq(Matches("digits", "$", "^[0-9]+$"))),
+      DynamicRef("dr", "#digits")),
+      dynamicAnchors = Seq("digits"))
     val json = graft.dsl.ConstraintJson.renderSuite(suite)
     assert(graft.dsl.ConstraintJson.parseSuite(json) == suite)
+  }
+
+  // --------------------------------------------------------------
+  // $dynamicRef / $dynamicAnchor (official-suite shapes:
+  // dynamicRef.json, run by the reference at Draft2020Runner.java:62)
+  // --------------------------------------------------------------
+
+  /** The generic "list of itemT" suite: element type is a $dynamicAnchor
+    * with a number default, the classic extensible-list shape. */
+  private def listSuite(id: String, dynamic: Boolean) = ConstraintSuite(
+    id,
+    Seq(
+      Defs(s"$id.defs", Seq(TypeIs("itemT", "$", "number"))),
+      EachElement("elems", "xs", DynamicRef("itemRef", "#itemT"))),
+    dynamicAnchors = if (dynamic) Seq("itemT") else Nil)
+
+  private val listRows = Seq(
+    ("ok_int", Seq("1", "22")),     // digits: valid under both
+    ("ok_frac", Seq("3.5")),        // number but NOT digits-only
+    ("bad", Seq("1", "oops")))      // not even a number
+    .toDF("doc_id", "xs")
+
+  private def validOn(suite: ConstraintSuite,
+      reg: ConstraintRegistry): Map[String, Boolean] = {
+    val compiled = ConstraintCompiler.compile(suite, reg)
+    listRows.withColumn("ok", compiled.rowPredicate)
+      .select("doc_id", "ok").as[(String, Boolean)].collect().toMap
+  }
+
+  test("dynamicRef: same-resource anchor behaves like a plain ref") {
+    val got = validOn(listSuite("list", dynamic = true),
+      ConstraintRegistry.empty)
+    assert(got == Map("ok_int" -> true, "ok_frac" -> true, "bad" -> false))
+  }
+
+  test("dynamicRef: first dynamicAnchor in the dynamic scope wins") {
+    val reg = ConstraintRegistry.empty
+    reg.register("list", listSuite("list", dynamic = true))
+    // strictList re-declares itemT (digits only) and refs list: the
+    // OUTERMOST declaration must win over list's own default
+    val strict = ConstraintSuite("strictList", Seq(
+      Defs("strict.defs", Seq(Matches("itemT", "$", "^[0-9]+$"))),
+      Ref("useList", "list")),
+      dynamicAnchors = Seq("itemT"))
+    val got = validOn(strict, reg)
+    assert(got == Map("ok_int" -> true, "ok_frac" -> false, "bad" -> false))
+  }
+
+  test("dynamicRef: no dynamicAnchor at the lexical target → plain ref " +
+      "(bookending)") {
+    val reg = ConstraintRegistry.empty
+    // list's anchor is NOT declared dynamic: the override must NOT apply
+    reg.register("plainList", listSuite("plainList", dynamic = false))
+    val strict = ConstraintSuite("strictPlain", Seq(
+      Defs("strict.defs", Seq(Matches("itemT", "$", "^[0-9]+$"))),
+      Ref("useList", "plainList")),
+      dynamicAnchors = Seq("itemT"))
+    val got = validOn(strict, reg)
+    assert(got == Map("ok_int" -> true, "ok_frac" -> true, "bad" -> false))
+  }
+
+  test("dynamicRef: intermediate scopes without the anchor don't matter") {
+    val reg = ConstraintRegistry.empty
+    reg.register("list", listSuite("list", dynamic = true))
+    reg.register("mid", ConstraintSuite("mid", Seq(
+      Ref("useList", "list")))) // declares no anchors
+    val strictTop = ConstraintSuite("strictTop", Seq(
+      Defs("strict.defs", Seq(Matches("itemT", "$", "^[0-9]+$"))),
+      Ref("useMid", "mid")),
+      dynamicAnchors = Seq("itemT"))
+    val got = validOn(strictTop, reg)
+    assert(got == Map("ok_int" -> true, "ok_frac" -> false, "bad" -> false))
+  }
+
+  test("dynamicRef: recursion raises the descriptive cycle error") {
+    val recur = ConstraintSuite("recur", Seq(
+      Defs("d", Seq(AllOf("node", Seq(DynamicRef("again", "#node"))))),
+      DynamicRef("start", "#node")),
+      dynamicAnchors = Seq("node"))
+    val e = intercept[ConstraintCompiler.CompileException] {
+      ConstraintCompiler.compile(recur)
+    }
+    assert(e.getMessage.contains("cyclic"))
+    // and a dynamicRef without a fragment is a descriptive error too
+    val e2 = intercept[ConstraintCompiler.CompileException] {
+      ConstraintCompiler.compile(ConstraintSuite("nf", Seq(
+        DynamicRef("r", "recur"))))
+    }
+    assert(e2.getMessage.contains("fragment"))
+  }
+
+  test("defs: definitions container asserts nothing on its own") {
+    // a Defs whose body would reject every row must not fire unless
+    // referenced — top-level Defs are dropped, nested ones lower to true
+    val suite = ConstraintSuite("defsOnly", Seq(
+      Defs("d", Seq(BoolSchema("never", false))),
+      AllOf("grp", Seq(Defs("d2", Seq(BoolSchema("never2", false)))))))
+    val got = validOn(suite, ConstraintRegistry.empty)
+    assert(got.values.forall(identity))
   }
 }
