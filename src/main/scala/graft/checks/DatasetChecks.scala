@@ -57,11 +57,43 @@ object DatasetCheck {
  * candidates: a few ×10^4 at 10^12 rows) are filtered, never reported.
  * Violations: one row per duplicated key value (not per duplicate row) —
  * violation volume stays proportional to the number of BAD KEYS.
+ *
+ * `colocated = true` (storage bucketed / layout-partitioned by the key):
+ * the hash-first narrowing is pointless when no exchange happens at all,
+ * so the check groups the RAW key attribute in one phase — the bucketed
+ * scan reports `HashPartitioning(col)`, `EnsureRequirements` sees the
+ * aggregation's requirement already met, and the plan carries ZERO
+ * shuffles (spec-asserted). Declaring it against a non-bucketed source
+ * is slow (full-key exchange) but never wrong — Spark reinserts the
+ * exchange the layout doesn't provide.
  */
-final case class UniqueCheck(id: String, col: String, expected: String)
+final case class UniqueCheck(id: String, col: String, expected: String,
+    colocated: Boolean = false)
     extends DatasetCheck {
   def violations(df: DataFrame, idCol: String, partitionCols: Seq[String],
       dims: Map[String, DataFrame]): DataFrame = {
+    val dupKeys =
+      if (colocated)
+        // raw attribute, no cast: a rewritten expression would not match
+        // the scan's output partitioning and would resurrect the shuffle
+        df.select(F.col(col).as("_k"))
+          .groupBy("_k").agg(F.count(F.lit(1)).as("_cnt"))
+          .filter(F.col("_cnt") > 1)
+          .select(F.col("_k").cast("string").as("_k"), F.col("_cnt"))
+      else uniqueTwoPhase(df)
+    dupKeys
+      .select(
+        F.coalesce(F.col("_k"), F.lit("null")).as("doc_id"),
+        F.lit(id).as("constraint_id"),
+        F.concat(F.lit("count="), F.col("_cnt").cast("string"))
+          .as("observed"),
+        F.lit(expected).as("expected"),
+        F.lit("/" + col.replace(".", "/")).as("instance_path"))
+  }
+
+  /** Duplicated keys `(_k string, _cnt)` via the hash-first two-phase
+    * shape described in the class doc. */
+  private def uniqueTwoPhase(df: DataFrame): DataFrame = {
     val keys = df.select(F.col(col).cast("string").as("_k"))
     val candidateHashes = keys
       .select(F.xxhash64(F.col("_k")).as("_h"))
@@ -73,13 +105,6 @@ final case class UniqueCheck(id: String, col: String, expected: String)
         F.xxhash64(F.col("_k")) === F.col("_h"), "left_semi")
       .groupBy("_k").agg(F.count(F.lit(1)).as("_cnt"))
       .filter(F.col("_cnt") > 1)
-      .select(
-        F.coalesce(F.col("_k"), F.lit("null")).as("doc_id"),
-        F.lit(id).as("constraint_id"),
-        F.concat(F.lit("count="), F.col("_cnt").cast("string"))
-          .as("observed"),
-        F.lit(expected).as("expected"),
-        F.lit("/" + col.replace(".", "/")).as("instance_path"))
   }
 }
 

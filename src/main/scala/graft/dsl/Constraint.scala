@@ -266,8 +266,17 @@ object Constraint {
   // ----------------------------------------------------------------
 
   /** Table-scope uniqueness of a key column (C3): salted two-phase
-    * hash-aggregate; every row of a duplicated key becomes a violation. */
-  final case class Unique(id: String, col: String) extends Constraint
+    * hash-aggregate; every row of a duplicated key becomes a violation.
+    * `colocated = true` declares that equal keys already live in the
+    * same storage split (table bucketed / layout-partitioned by `col`):
+    * the check then groups the key DIRECTLY, letting Spark elide the
+    * exchange against the scan's hash partitioning — the 10^12-row
+    * deployment shape, where the uniqueness shuffle is otherwise the
+    * single most expensive stage. The flag only changes PLAN SHAPE,
+    * never the answer: on a non-bucketed source Spark simply reinserts
+    * the (full-key) exchange. */
+  final case class Unique(id: String, col: String,
+      colocated: Boolean = false) extends Constraint
 
   /** Referential integrity (C4): `col` values must exist in
     * `dimName.dimCol` (dimension resolved at validate time; joined via

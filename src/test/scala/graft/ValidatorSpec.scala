@@ -361,4 +361,58 @@ class ValidatorSpec extends SparkSpec {
     assert(v(1).getAs[Boolean]("rows_ok"))
     assert(v(1).getAs[Long]("n_rows") == 2L)
   }
+
+  test("colocated uniqueness: bucketed source runs with ZERO shuffles") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.SparkPlan
+
+    def shuffles(df: DataFrame): Int = {
+      df.collect() // materialize so AQE finalizes the plan
+      def count(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+        // materialized AQE stages are leaves wrapping the real exchange
+        case q: QueryStageExec        => count(q.plan)
+        case s: ShuffleExchangeLike   => 1 + s.children.map(count).sum
+        case other => other.children.map(count).sum
+      }
+      count(df.queryExecution.executedPlan)
+    }
+
+    val df = seqDf(
+      ("a", Seq(1), 1, "web"), ("b", Seq(2), 1, "web"),
+      ("a", Seq(3), 1, "books"), ("c", Seq(4), 1, "web"))
+    spark.sql("DROP TABLE IF EXISTS uniq_bucketed")
+    try {
+      df.write.bucketBy(4, "doc_id").saveAsTable("uniq_bucketed")
+      val bucketed = spark.table("uniq_bucketed")
+
+      val coloc = ConstraintCompiler.compile(ConstraintSuite("s", Seq(
+        Unique("u", "doc_id", colocated = true))))
+      val viol = Validator.validateWithDetails(bucketed, coloc, Seq.empty)
+        .violations.select("doc_id", "observed")
+      assert(viol.as[(String, String)].collect().toSet ==
+        Set(("a", "count=2")))
+      // the whole point: the bucketed scan's HashPartitioning(doc_id)
+      // satisfies the aggregation, so NO exchange exists anywhere
+      assert(shuffles(viol) == 0, viol.queryExecution.executedPlan)
+
+      // contrast: the two-phase default against the same source shuffles
+      val twoPhase = ConstraintCompiler.compile(ConstraintSuite("s2", Seq(
+        Unique("u", "doc_id"))))
+      val viol2 = Validator.validateWithDetails(bucketed, twoPhase, Seq.empty)
+        .violations.select("doc_id", "observed")
+      assert(viol2.as[(String, String)].collect().toSet ==
+        Set(("a", "count=2")))
+      assert(shuffles(viol2) > 0)
+
+      // and colocated against a NON-bucketed source: slower (Spark adds
+      // the exchange back) but exactly as correct
+      val viol3 = Validator.validateWithDetails(df, coloc, Seq.empty)
+        .violations.select("doc_id", "observed")
+      assert(viol3.as[(String, String)].collect().toSet ==
+        Set(("a", "count=2")))
+      assert(shuffles(viol3) > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS uniq_bucketed")
+  }
 }
