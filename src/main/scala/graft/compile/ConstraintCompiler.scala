@@ -340,12 +340,15 @@ object ConstraintCompiler {
 
   /** Resolve a column path in the current scope. `"$"` refers to the
     * array element bound by the nearest EachElement/ContainsCount/
-    * PrefixItems. */
+    * PrefixItems; `"$.f.g"` drills into struct fields of that element
+    * (arrays of records — e.g. imported `items.properties` subschemas). */
   private def res(col: String, scope: Option[Column]): Column =
-    if (col == "$")
-      scope.getOrElse(throw new CompileException(
+    if (col == "$" || col.startsWith("$.")) {
+      val base = scope.getOrElse(throw new CompileException(
         "'$' used outside an array-element scope"))
-    else F.col(col)
+      if (col == "$") base
+      else col.drop(2).split('.').foldLeft(base)(_.getField(_))
+    } else F.col(col)
 
   /** Pass-on-null wrapper: JSON Schema applicability semantics. */
   private def nullPasses(c: Column, raw: Column): Column =
@@ -613,29 +616,29 @@ object ConstraintCompiler {
   private def refCols(c: Constraint): Seq[String] = {
     val buf = scala.collection.mutable.LinkedHashSet[String]()
     Constraint.walk(c) {
-      case NotNull(_, col)            => if (col != "$") buf += col
-      case IsIn(_, col, _)            => if (col != "$") buf += col
-      case ConstEq(_, col, _)         => if (col != "$") buf += col
-      case Bounds(_, col, _, _, _, _) => if (col != "$") buf += col
-      case MultipleOf(_, col, _)      => if (col != "$") buf += col
-      case LengthBounds(_, col, _, _) => if (col != "$") buf += col
-      case Matches(_, col, _)         => if (col != "$") buf += col
-      case FormatIs(_, col, _, _)     => if (col != "$") buf += col
-      case SizeBounds(_, col, _, _)   => if (col != "$") buf += col
-      case UniqueItems(_, col)        => if (col != "$") buf += col
-      case EachElement(_, col, _)     => if (col != "$") buf += col
-      case EachElementFrom(_, col, _, _) => if (col != "$") buf += col
-      case ContainsCount(_, col, _, _, _) => if (col != "$") buf += col
-      case PrefixItems(_, col, _)     => if (col != "$") buf += col
-      case KeysIn(_, col, _)          => if (col != "$") buf += col
-      case KeyCountBounds(_, col, _, _) => if (col != "$") buf += col
-      case EachKey(_, col, _)         => if (col != "$") buf += col
-      case PropertyValues(_, col, _, _) => if (col != "$") buf += col
-      case PatternValues(_, col, _, _)  => if (col != "$") buf += col
-      case UnevaluatedItems(_, col, _)  => if (col != "$") buf += col
+      case NotNull(_, col)            => if (!col.startsWith("$")) buf += col
+      case IsIn(_, col, _)            => if (!col.startsWith("$")) buf += col
+      case ConstEq(_, col, _)         => if (!col.startsWith("$")) buf += col
+      case Bounds(_, col, _, _, _, _) => if (!col.startsWith("$")) buf += col
+      case MultipleOf(_, col, _)      => if (!col.startsWith("$")) buf += col
+      case LengthBounds(_, col, _, _) => if (!col.startsWith("$")) buf += col
+      case Matches(_, col, _)         => if (!col.startsWith("$")) buf += col
+      case FormatIs(_, col, _, _)     => if (!col.startsWith("$")) buf += col
+      case SizeBounds(_, col, _, _)   => if (!col.startsWith("$")) buf += col
+      case UniqueItems(_, col)        => if (!col.startsWith("$")) buf += col
+      case EachElement(_, col, _)     => if (!col.startsWith("$")) buf += col
+      case EachElementFrom(_, col, _, _) => if (!col.startsWith("$")) buf += col
+      case ContainsCount(_, col, _, _, _) => if (!col.startsWith("$")) buf += col
+      case PrefixItems(_, col, _)     => if (!col.startsWith("$")) buf += col
+      case KeysIn(_, col, _)          => if (!col.startsWith("$")) buf += col
+      case KeyCountBounds(_, col, _, _) => if (!col.startsWith("$")) buf += col
+      case EachKey(_, col, _)         => if (!col.startsWith("$")) buf += col
+      case PropertyValues(_, col, _, _) => if (!col.startsWith("$")) buf += col
+      case PatternValues(_, col, _, _)  => if (!col.startsWith("$")) buf += col
+      case UnevaluatedItems(_, col, _)  => if (!col.startsWith("$")) buf += col
       case UnevaluatedProperties(_, col, _, _, _) =>
-        if (col != "$") buf += col
-      case TypeIs(_, col, _)          => if (col != "$") buf += col
+        if (!col.startsWith("$")) buf += col
+      case TypeIs(_, col, _)          => if (!col.startsWith("$")) buf += col
       case SizeConsistency(_, i, a)   => buf += i; buf += a
       case _                          => ()
     }

@@ -1,0 +1,345 @@
+package graft.compile
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+import graft.dsl.Constraint._
+import graft.dsl.{Constraint, ConstraintSuite}
+
+/**
+ * Import an actual JSON Schema document into a [[ConstraintSuite]] — the
+ * bridge that lets a user of the reference validator run their EXISTING
+ * schema documents against tables: the reference's compile() input is a
+ * JSON Schema string (SchemaCompiler.java:38-40), and this translates
+ * the table-expressible subset of that language onto the DSL, mapping
+ * the schema's top-level `properties` onto columns.
+ *
+ * Path model: a root schema must describe a record (`type: "object"`
+ * with `properties`); property `p` maps to column `p`, nested fixed
+ * objects map to struct paths `p.q`, array element subschemas map to
+ * the element scope `$` (fields of record elements: `$.q`). An object
+ * subschema whose keywords imply OPEN keys (`patternProperties`,
+ * `propertyNames`, `additionalProperties`, `minProperties`,
+ * `maxProperties`) targets a `map<string,string>` column and lowers to
+ * the map-flavored operators; otherwise it is struct-flavored and
+ * recurses into fixed paths.
+ *
+ * Dialect interop (the translation concern the compiler scaladoc
+ * assigns here): draft-4's BOOLEAN `exclusiveMinimum`/`exclusiveMaximum`
+ * modifying `minimum`/`maximum`, draft-7's array-form `items` +
+ * `additionalItems`, and 2020-12's `prefixItems` + schema-form `items`
+ * all lower to the same `PrefixItems`/`EachElement`/`EachElementFrom`
+ * trio. `$ref`/`$defs`(/legacy `definitions`)/`$anchor` are resolved by
+ * INLINING at the reference site — JSON Schema definitions are
+ * location-independent, so the same def lands on whatever path the ref
+ * site sits at; cycles raise a descriptive error. `$dynamicRef`
+ * resolves like `$ref` here (a single imported document has the trivial
+ * dynamic scope; cross-suite override chains use the DSL's DynamicRef
+ * directly). Annotation keywords are ignored; any UNRECOGNIZED
+ * assertion keyword raises ImportException naming it — silent partial
+ * enforcement is how validators lie.
+ */
+object JsonSchemaImport {
+
+  final class ImportException(msg: String) extends RuntimeException(msg)
+
+  private val mapper = new ObjectMapper()
+
+  /** Keywords that are annotations / structure we already consumed /
+    * intentionally out of assertion scope for a table importer. */
+  private val Ignored = Set(
+    "$schema", "$id", "$comment", "$vocabulary", "title", "description",
+    "default", "examples", "deprecated", "readOnly", "writeOnly",
+    "contentMediaType", "contentEncoding", "contentSchema",
+    "$defs", "definitions", "$anchor", "$dynamicAnchor")
+
+  private val Handled = Set(
+    "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
+    "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
+    "format", "items", "prefixItems", "additionalItems", "minItems",
+    "maxItems", "uniqueItems", "contains", "minContains", "maxContains",
+    "properties", "required", "patternProperties", "propertyNames",
+    "additionalProperties", "minProperties", "maxProperties",
+    "dependentRequired", "dependentSchemas", "allOf", "anyOf", "oneOf",
+    "not", "if", "then", "else", "$ref", "$dynamicRef",
+    "unevaluatedItems", "unevaluatedProperties")
+
+  def translate(schemaJson: String, suiteId: String = null): ConstraintSuite = {
+    val root =
+      try mapper.readTree(schemaJson)
+      catch {
+        case e: Exception =>
+          throw new ImportException(s"invalid JSON: ${e.getMessage}")
+      }
+    if (!root.isObject)
+      throw new ImportException(
+        "root schema must be an object describing a record")
+    val id = Option(suiteId)
+      .orElse(Option(root.get("$id")).map(_.asText()))
+      .getOrElse("imported")
+
+    // --- reference targets: $defs / definitions by name, $anchor by name
+    val defs = scala.collection.mutable.Map[String, JsonNode]()
+    Seq("$defs", "definitions").foreach { k =>
+      Option(root.get(k)).filter(_.isObject).foreach(
+        _.properties().asScala.foreach(e => defs(e.getKey) = e.getValue))
+    }
+    val anchors = scala.collection.mutable.Map[String, JsonNode]()
+    def findAnchors(n: JsonNode): Unit = if (n.isObject) {
+      Seq("$anchor", "$dynamicAnchor").foreach(k =>
+        Option(n.get(k)).foreach(a => anchors(a.asText()) = n))
+      n.properties().asScala.foreach(e => findAnchors(e.getValue))
+    } else if (n.isArray) n.elements().asScala.foreach(findAnchors)
+    findAnchors(root)
+
+    def resolveRef(ref: String): JsonNode = {
+      val target =
+        if (ref.startsWith("#/$defs/")) defs.get(ref.drop(8))
+        else if (ref.startsWith("#/definitions/")) defs.get(ref.drop(14))
+        else if (ref.startsWith("#") && !ref.contains('/'))
+          anchors.get(ref.drop(1))
+        else None
+      target.getOrElse(throw new ImportException(
+        s"unresolvable ref '$ref' (supported: #/\\$$defs/name, " +
+          "#/definitions/name, #anchor within this document)"))
+    }
+
+    var n = 0
+    def fresh(path: String, kw: String): String = {
+      n += 1; s"${if (path.isEmpty) "row" else path}.$kw.$n"
+    }
+
+    def num(node: JsonNode, f: String): Option[BigDecimal] =
+      Option(node.get(f)).filter(_.isNumber)
+        .map(v => BigDecimal(v.decimalValue()))
+    def int(node: JsonNode, f: String): Option[Int] =
+      Option(node.get(f)).filterNot(_.isNull).map(_.asInt())
+
+    /** True when the object subschema's keywords imply open keys — the
+      * map<string,string>-column flavor. */
+    def mapFlavored(s: JsonNode): Boolean =
+      Seq("patternProperties", "propertyNames", "additionalProperties",
+        "minProperties", "maxProperties").exists(s.has)
+
+    def allOfWrap(path: String, cs: Seq[Constraint]): Constraint = cs match {
+      case Seq(one) => one
+      case many     => AllOf(fresh(path, "group"), many)
+    }
+
+    /** Lower subschema `s` applied at column path `path` ("" = the row:
+      * only object-with-properties is meaningful there). */
+    def lower(s: JsonNode, path: String,
+        refStack: List[String]): Seq[Constraint] = {
+      if (s.isBoolean)
+        return if (s.asBoolean()) Nil
+        else Seq(BoolSchema(fresh(path, "false"), value = false))
+      if (!s.isObject)
+        throw new ImportException(s"schema at '$path' must be an object " +
+          s"or boolean, got: $s")
+
+      s.fieldNames().asScala.foreach { k =>
+        if (!Handled.contains(k) && !Ignored.contains(k))
+          throw new ImportException(
+            s"unsupported keyword '$k' at '$path' — refusing to " +
+              "silently under-enforce the schema")
+      }
+      val out = Seq.newBuilder[Constraint]
+
+      // ---- $ref / $dynamicRef: inline at this path ------------------
+      Seq("$ref", "$dynamicRef").foreach { kw =>
+        Option(s.get(kw)).foreach { r =>
+          val ref = r.asText()
+          if (refStack.contains(ref))
+            throw new ImportException(s"cyclic ref '$ref' — recursive " +
+              "schemas must be unrolled to the column's nesting depth")
+          out += allOfWrap(path, lower(resolveRef(ref), path, ref :: refStack))
+        }
+      }
+
+      // ---- type -----------------------------------------------------
+      Option(s.get("type")).foreach { t =>
+        val names =
+          if (t.isArray) t.elements().asScala.map(_.asText()).toSeq
+          else Seq(t.asText())
+        val content = names.filter(
+          Set("integer", "number", "boolean", "string"))
+        // array/object/null are structural: the Spark column type (and
+        // NotNull for required) already pins them
+        if (content.nonEmpty && path.nonEmpty) {
+          val ts = content.map(t2 => TypeIs(fresh(path, s"type_$t2"), path, t2))
+          out += (if (ts.sizeIs == 1) ts.head
+                  else AnyOf(fresh(path, "type"), ts))
+        }
+      }
+
+      // ---- scalar assertions ---------------------------------------
+      Option(s.get("enum")).foreach { e =>
+        out += IsIn(fresh(path, "enum"), path,
+          e.elements().asScala.map(_.asText()).toSeq)
+      }
+      Option(s.get("const")).foreach(c =>
+        out += ConstEq(fresh(path, "const"), path, c.asText()))
+
+      val exMinB = Option(s.get("exclusiveMinimum")).exists(_.isBoolean)
+      val exMaxB = Option(s.get("exclusiveMaximum")).exists(_.isBoolean)
+      val mn = num(s, "minimum")
+        .orElse(if (exMinB) None else num(s, "exclusiveMinimum"))
+      val mx = num(s, "maximum")
+        .orElse(if (exMaxB) None else num(s, "exclusiveMaximum"))
+      val exMin = // draft-4 boolean form OR 2020-12 numeric form
+        (exMinB && s.get("exclusiveMinimum").asBoolean()) ||
+          (num(s, "minimum").isEmpty && num(s, "exclusiveMinimum").isDefined)
+      val exMax =
+        (exMaxB && s.get("exclusiveMaximum").asBoolean()) ||
+          (num(s, "maximum").isEmpty && num(s, "exclusiveMaximum").isDefined)
+      if (mn.isDefined || mx.isDefined)
+        out += Bounds(fresh(path, "bounds"), path, mn, mx, exMin, exMax)
+      num(s, "multipleOf").foreach(k =>
+        out += MultipleOf(fresh(path, "multipleOf"), path, k))
+
+      if (s.has("minLength") || s.has("maxLength"))
+        out += LengthBounds(fresh(path, "length"), path,
+          int(s, "minLength"), int(s, "maxLength"))
+      Option(s.get("pattern")).foreach(p =>
+        out += Matches(fresh(path, "pattern"), path, p.asText()))
+      Option(s.get("format")).foreach(f =>
+        // 2020-12 default: format is an ANNOTATION; strict mode is the
+        // DSL's opt-in (FormatIs(strict = true))
+        out += FormatIs(fresh(path, "format"), path, f.asText(),
+          strict = false))
+
+      // ---- arrays ---------------------------------------------------
+      if (s.has("minItems") || s.has("maxItems"))
+        out += SizeBounds(fresh(path, "size"), path,
+          int(s, "minItems"), int(s, "maxItems"))
+      if (Option(s.get("uniqueItems")).exists(_.asBoolean(false)))
+        out += UniqueItems(fresh(path, "unique"), path)
+
+      val prefix: Seq[JsonNode] =
+        Option(s.get("prefixItems")).filter(_.isArray)
+          .orElse(Option(s.get("items")).filter(_.isArray)) // draft-7 form
+          .map(_.elements().asScala.toSeq).getOrElse(Nil)
+      if (prefix.nonEmpty)
+        out += PrefixItems(fresh(path, "prefix"), path,
+          prefix.map(p => allOfWrap("$", lower(p, "$", refStack))))
+      val tailSchema: Option[JsonNode] =
+        Option(s.get("items")).filterNot(_.isArray)
+          .orElse(Option(s.get("additionalItems"))) // draft-7 form
+      tailSchema.foreach { it =>
+        val elem = allOfWrap("$", lower(it, "$", refStack))
+        out += (if (prefix.isEmpty) EachElement(fresh(path, "items"), path, elem)
+                else EachElementFrom(fresh(path, "items"), path,
+                  prefix.size, elem))
+      }
+      Option(s.get("contains")).foreach { c =>
+        out += ContainsCount(fresh(path, "contains"), path,
+          allOfWrap("$", lower(c, "$", refStack)),
+          int(s, "minContains").getOrElse(1), int(s, "maxContains"))
+      }
+      Option(s.get("unevaluatedItems")).foreach(u =>
+        out += UnevaluatedItems(fresh(path, "unevalItems"), path,
+          allOfWrap("$", lower(u, "$", refStack))))
+
+      // ---- objects --------------------------------------------------
+      val props = Option(s.get("properties")).filter(_.isObject)
+      val isMap = path.nonEmpty && mapFlavored(s)
+      if (isMap) {
+        props.foreach(_.properties().asScala.foreach { e =>
+          out += PropertyValues(fresh(path, s"prop_${e.getKey}"), path,
+            e.getKey, allOfWrap("$", lower(e.getValue, "$", refStack)))
+        })
+        Option(s.get("patternProperties")).foreach(
+          _.properties().asScala.foreach { e =>
+            out += PatternValues(fresh(path, "patternProps"), path,
+              e.getKey, allOfWrap("$", lower(e.getValue, "$", refStack)))
+          })
+        Option(s.get("propertyNames")).foreach { pn =>
+          out += EachKey(fresh(path, "propNames"), path,
+            allOfWrap("$", lower(pn, "$", refStack)))
+        }
+        Option(s.get("additionalProperties")).foreach { ap =>
+          val covered = props.map(
+            _.fieldNames().asScala.toSeq).getOrElse(Nil)
+          val coveredPats = Option(s.get("patternProperties")).map(
+            _.fieldNames().asScala.toSeq).getOrElse(Nil)
+          if (ap.isBoolean && !ap.asBoolean())
+            out += KeysIn(fresh(path, "keys"), path, covered)
+          else if (!ap.isBoolean || !ap.asBoolean())
+            out += UnevaluatedProperties(fresh(path, "addlProps"), path,
+              allOfWrap("$", lower(ap, "$", refStack)), covered, coveredPats)
+        }
+        if (s.has("minProperties") || s.has("maxProperties"))
+          out += KeyCountBounds(fresh(path, "keyCount"), path,
+            int(s, "minProperties"), int(s, "maxProperties"))
+        Option(s.get("required")).foreach(_.elements().asScala.foreach { r =>
+          out += PropertyValues(fresh(path, s"req_${r.asText()}"), path,
+            r.asText(), NotNull(fresh(path, "reqNN"), "$"))
+        })
+      } else {
+        def childPath(p: String): String =
+          if (path.isEmpty) p else s"$path.$p"
+        props.foreach(_.properties().asScala.foreach { e =>
+          out ++= lower(e.getValue, childPath(e.getKey), refStack)
+        })
+        Option(s.get("required")).foreach(_.elements().asScala.foreach(r =>
+          out += NotNull(fresh(childPath(r.asText()), "required"),
+            childPath(r.asText()))))
+        Option(s.get("dependentRequired")).foreach(
+          _.properties().asScala.foreach { e =>
+            val needed = e.getValue.elements().asScala.map(x =>
+              NotNull(fresh(childPath(x.asText()), "depReq"),
+                childPath(x.asText()))).toSeq
+            out += IfThen(fresh(path, s"depReq_${e.getKey}"),
+              NotNull(fresh(path, "depCond"), childPath(e.getKey)),
+              allOfWrap(path, needed))
+          })
+        Option(s.get("dependentSchemas")).foreach(
+          _.properties().asScala.foreach { e =>
+            out += IfThen(fresh(path, s"depSchema_${e.getKey}"),
+              NotNull(fresh(path, "depCond"), childPath(e.getKey)),
+              allOfWrap(path, lower(e.getValue, path, refStack)))
+          })
+        Option(s.get("unevaluatedProperties")).foreach { u =>
+          if (path.isEmpty) throw new ImportException(
+            "unevaluatedProperties at the ROW level is not meaningful " +
+              "for a fixed table schema")
+          out += UnevaluatedProperties(fresh(path, "unevalProps"), path,
+            allOfWrap("$", lower(u, "$", refStack)))
+        }
+      }
+
+      // ---- combinators ---------------------------------------------
+      Option(s.get("allOf")).foreach(_.elements().asScala.foreach(sub =>
+        out ++= lower(sub, path, refStack)))
+      Option(s.get("anyOf")).foreach { a =>
+        out += AnyOf(fresh(path, "anyOf"), a.elements().asScala.map(sub =>
+          allOfWrap(path, lower(sub, path, refStack))).toSeq)
+      }
+      Option(s.get("oneOf")).foreach { o =>
+        out += OneOf(fresh(path, "oneOf"), o.elements().asScala.map(sub =>
+          allOfWrap(path, lower(sub, path, refStack))).toSeq)
+      }
+      Option(s.get("not")).foreach(sub =>
+        out += Not(fresh(path, "not"),
+          allOfWrap(path, lower(sub, path, refStack))))
+      Option(s.get("if")).foreach { i =>
+        val thenC = Option(s.get("then"))
+          .map(t => allOfWrap(path, lower(t, path, refStack)))
+          .getOrElse(BoolSchema(fresh(path, "thenTrue"), value = true))
+        val elseC = Option(s.get("else"))
+          .map(e => allOfWrap(path, lower(e, path, refStack)))
+        out += IfThen(fresh(path, "ifThen"),
+          allOfWrap(path, lower(i, path, refStack)), thenC, elseC)
+      }
+
+      out.result()
+    }
+
+    val cs = lower(root, "", Nil)
+    if (cs.isEmpty)
+      throw new ImportException(
+        "schema asserts nothing a table validator can enforce " +
+          "(no properties/combinators found at the root)")
+    ConstraintSuite(id, cs)
+  }
+}

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.compile.{ConstraintCompiler, JsonSchemaImport}
+import graft.exec.Validator
+
+/** The importer bridge: real JSON Schema documents (the reference's
+  * native input language, SchemaCompiler.java:38-40) translated onto
+  * the DSL and validated against rows — including the draft-interop
+  * forms (draft-4 boolean exclusiveMinimum, draft-7 array items /
+  * additionalItems) and $defs/$ref inlining. */
+class JsonSchemaImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def verdicts(schema: String, df: DataFrame): Map[String, Boolean] = {
+    val suite = ConstraintCompiler.compile(JsonSchemaImport.translate(schema))
+    df.withColumn("ok", suite.rowPredicate)
+      .select("doc_id", "ok").as[(String, Boolean)].collect().toMap
+  }
+
+  test("the north-star sequence schema as an actual JSON Schema document") {
+    val schema = """{
+      "$id": "sequences-v1",
+      "type": "object",
+      "required": ["doc_id", "tokens"],
+      "properties": {
+        "doc_id": {"type": "string", "minLength": 1},
+        "n_tok": {"type": "integer", "minimum": 1, "maximum": 8192},
+        "tokens": {
+          "type": "array",
+          "items": {"type": "integer", "minimum": 0, "maximum": 50256},
+          "minItems": 1
+        },
+        "source": {"enum": ["web", "books", "code"]}
+      }
+    }"""
+    val df = Seq(
+      ("good", Seq(1, 50256), 2, "web"),
+      ("tok_oob", Seq(1, 99999), 2, "web"),
+      ("bad_src", Seq(1), 1, "mars"),
+      ("empty_tokens", Seq.empty[Int], 0, "books"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    assert(verdicts(schema, df) == Map(
+      "good" -> true, "tok_oob" -> false, "bad_src" -> false,
+      "empty_tokens" -> false))
+    val imported = JsonSchemaImport.translate(schema)
+    assert(imported.id == "sequences-v1") // $id becomes the suite id
+  }
+
+  test("draft-4 boolean exclusiveMinimum and draft-7 array items") {
+    // draft-4: {"minimum": 0, "exclusiveMinimum": true} means > 0
+    val d4 = """{
+      "type": "object",
+      "properties": {
+        "n_tok": {"minimum": 0, "exclusiveMinimum": true},
+        "tokens": {
+          "items": [{"maximum": 9}, {"maximum": 99}],
+          "additionalItems": {"maximum": 999}
+        }
+      }
+    }"""
+    val df = Seq(
+      ("pos", Seq(1, 50, 500), 1),
+      ("zero", Seq(1), 0),             // 0 is NOT > 0
+      ("prefix0_bad", Seq(10, 50), 1), // pos 0 must be <= 9
+      ("tail_bad", Seq(1, 50, 5000), 1))
+      .toDF("doc_id", "tokens", "n_tok")
+    assert(verdicts(d4, df) == Map(
+      "pos" -> true, "zero" -> false, "prefix0_bad" -> false,
+      "tail_bad" -> false))
+    // 2020-12 numeric form of the same bound
+    val d2020 = """{
+      "type": "object",
+      "properties": {"n_tok": {"exclusiveMinimum": 0}}
+    }"""
+    assert(verdicts(d2020, df.filter($"doc_id".isin("pos", "zero"))) ==
+      Map("pos" -> true, "zero" -> false))
+  }
+
+  test("$defs inlined at each ref site; cycles are descriptive errors") {
+    val schema = """{
+      "type": "object",
+      "$defs": {"port": {"type": "integer", "minimum": 1, "maximum": 65535}},
+      "properties": {
+        "n_tok": {"$ref": "#/$defs/port"},
+        "tokens": {"items": {"$ref": "#/$defs/port"}}
+      }
+    }"""
+    val df = Seq(
+      ("ok", Seq(80, 443), 8080),
+      ("bad_col", Seq(80), 0),
+      ("bad_elem", Seq(80, 70000), 8080))
+      .toDF("doc_id", "tokens", "n_tok")
+    // the SAME def lands on a top-level column AND an array element
+    assert(verdicts(schema, df) == Map(
+      "ok" -> true, "bad_col" -> false, "bad_elem" -> false))
+
+    val cyclic = """{
+      "type": "object",
+      "$defs": {"a": {"$ref": "#/$defs/a"}},
+      "properties": {"n_tok": {"$ref": "#/$defs/a"}}
+    }"""
+    val e = intercept[JsonSchemaImport.ImportException] {
+      JsonSchemaImport.translate(cyclic)
+    }
+    assert(e.getMessage.contains("cyclic"))
+  }
+
+  test("open-keyed object subschemas target map columns") {
+    val schema = """{
+      "type": "object",
+      "properties": {
+        "attrs": {
+          "patternProperties": {"^x-": {"pattern": "^[0-9]+$"}},
+          "propertyNames": {"maxLength": 8},
+          "minProperties": 1
+        }
+      }
+    }"""
+    val df = Seq(
+      ("ok", Map("x-a" -> "12", "note" -> "y")),
+      ("bad_val", Map("x-a" -> "oops")),
+      ("long_key", Map("extremely-long-key" -> "1")),
+      ("empty", Map.empty[String, String]))
+      .toDF("doc_id", "attrs")
+    assert(verdicts(schema, df) == Map(
+      "ok" -> true, "bad_val" -> false, "long_key" -> false,
+      "empty" -> false))
+  }
+
+  test("arrays of records: items.properties maps to element fields") {
+    val schema = """{
+      "type": "object",
+      "properties": {
+        "spans": {
+          "items": {
+            "type": "object",
+            "properties": {"len": {"minimum": 1}},
+            "required": ["len"]
+          }
+        }
+      }
+    }"""
+    val df = Seq(
+      ("ok", Seq((1, "a"), (5, "b"))),
+      ("bad_len", Seq((0, "a"))))
+      .toDF("doc_id", "spans_raw")
+      .selectExpr("doc_id",
+        "transform(spans_raw, s -> named_struct('len', s._1, 'tag', s._2)) as spans")
+    assert(verdicts(schema, df) == Map("ok" -> true, "bad_len" -> false))
+  }
+
+  test("combinators, if/then/else and dependentRequired at the row level") {
+    val schema = """{
+      "type": "object",
+      "properties": {
+        "source": {"type": "string"},
+        "n_tok": {}
+      },
+      "if": {"properties": {"source": {"const": "code"}}},
+      "then": {"properties": {"n_tok": {"maximum": 100}}},
+      "else": {"properties": {"n_tok": {"maximum": 10}}},
+      "dependentRequired": {"n_tok": ["source"]}
+    }"""
+    val df = Seq(
+      ("code_ok", "code", Some(100)),
+      ("code_big", "code", Some(101)),
+      ("web_ok", "web", Some(10)),
+      ("web_big", "web", Some(11)),
+      ("no_src", null: String, Some(5)))
+      .toDF("doc_id", "source", "n_tok")
+    assert(verdicts(schema, df) == Map(
+      "code_ok" -> true, "code_big" -> false, "web_ok" -> true,
+      "web_big" -> false, "no_src" -> false))
+  }
+
+  test("unknown assertion keyword refuses to under-enforce") {
+    val e = intercept[JsonSchemaImport.ImportException] {
+      JsonSchemaImport.translate(
+        """{"type":"object","properties":{"a":{"frobnicate":1}}}""")
+    }
+    assert(e.getMessage.contains("frobnicate"))
+    // annotations are fine
+    val s = JsonSchemaImport.translate("""{
+      "type": "object", "title": "t", "description": "d",
+      "properties": {"n_tok": {"minimum": 0, "$comment": "x"}}}""")
+    assert(s.constraints.nonEmpty)
+  }
+}
