@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
 import graft.checks.{ColumnStats, DriftCheck}
-import graft.compile.ConstraintCompiler
+import graft.compile.{ConstraintCompiler, JsonSchemaImport}
 import graft.dsl.Constraint._
 import graft.dsl.ConstraintSuite
 import graft.exec.Validator
@@ -79,6 +79,32 @@ object SparkEntry {
         else F.col(f.name)
       }
       prof.select(rounded.toSeq: _*).orderBy("source")
+    }),
+    "v_import" -> ((s, dir) => {
+      // an ACTUAL JSON Schema document (the reference's native input
+      // language) imported and validated against lineitem; the oracle
+      // re-derives each assertion as SQL. Projection drops `observed`
+      // (double-formatting differs between engines) — (doc_id,
+      // instance_path) identifies the constraint, `expected` pins its
+      // semantics.
+      val schemaJson = """{
+        "$id": "lineitem-v1",
+        "type": "object",
+        "required": ["l_orderkey", "l_returnflag"],
+        "properties": {
+          "l_quantity": {"type": "number", "minimum": 1, "maximum": 45},
+          "l_discount": {"minimum": 0, "exclusiveMaximum": 0.1},
+          "l_returnflag": {"enum": ["N", "R"]},
+          "l_linestatus": {"pattern": "^[OF]$"}
+        }
+      }"""
+      val suite = ConstraintCompiler.compile(
+        JsonSchemaImport.translate(schemaJson))
+      val li = table(s, dir, "lineitem").withColumn("_rid",
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")))
+      Validator.validateWithDetails(li, suite, Seq.empty, "_rid")
+        .violations.select("doc_id", "instance_path", "expected")
+        .orderBy("doc_id", "instance_path")
     }),
     "v_unique" -> ((s, dir) => {
       val suite = ConstraintCompiler.compile(ConstraintSuite("u",
@@ -414,6 +440,29 @@ object SparkEntry {
       "(lang IN ('en','de','fr','es')) AND (n_chars = length(text))"
 
   def oracleSql: Map[String, String] = Map(
+    "v_import" ->
+      """SELECT * FROM (
+        |  SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+        |           CAST(l_linenumber AS VARCHAR) AS doc_id,
+        |         '/l_quantity' AS instance_path,
+        |         'l_quantity >= 1 and <= 45' AS expected
+        |  FROM lineitem WHERE NOT (l_quantity >= 1 AND l_quantity <= 45)
+        |  UNION ALL
+        |  SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+        |           CAST(l_linenumber AS VARCHAR),
+        |         '/l_discount', 'l_discount >= 0 and < 0.1'
+        |  FROM lineitem WHERE NOT (l_discount >= 0 AND l_discount < 0.1)
+        |  UNION ALL
+        |  SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+        |           CAST(l_linenumber AS VARCHAR),
+        |         '/l_returnflag', 'l_returnflag in {N, R}'
+        |  FROM lineitem WHERE l_returnflag NOT IN ('N','R')
+        |  UNION ALL
+        |  SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+        |           CAST(l_linenumber AS VARCHAR),
+        |         '/l_linestatus', 'l_linestatus matches /^[OF]$/'
+        |  FROM lineitem WHERE NOT regexp_matches(l_linestatus, '^[OF]$')
+        |) ORDER BY doc_id, instance_path""".stripMargin,
     "v_violations" ->
       s"""SELECT * FROM (
          |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
