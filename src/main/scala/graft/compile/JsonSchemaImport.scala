@@ -262,9 +262,16 @@ object JsonSchemaImport {
             _.fieldNames().asScala.toSeq).getOrElse(Nil)
           val coveredPats = Option(s.get("patternProperties")).map(
             _.fieldNames().asScala.toSeq).getOrElse(Nil)
-          if (ap.isBoolean && !ap.asBoolean())
-            out += KeysIn(fresh(path, "keys"), path, covered)
-          else if (!ap.isBoolean || !ap.asBoolean())
+          if (ap.isBoolean && !ap.asBoolean()) {
+            // keys matched by patternProperties are NOT "additional":
+            // a plain allow-list only works when there are no patterns
+            if (coveredPats.isEmpty)
+              out += KeysIn(fresh(path, "keys"), path, covered)
+            else
+              out += UnevaluatedProperties(fresh(path, "keys"), path,
+                BoolSchema(fresh(path, "never"), value = false),
+                covered, coveredPats)
+          } else if (!ap.isBoolean)
             out += UnevaluatedProperties(fresh(path, "addlProps"), path,
               allOfWrap("$", lower(ap, "$", refStack)), covered, coveredPats)
         }

@@ -18,32 +18,7 @@ import graft.exec.Validator
  * Pass/fail/skip counters reported like `Draft2020Runner.java:260-273`.
  */
 class ConformanceSpec extends SparkSpec {
-
-  private val rowSchema = StructType(Seq(
-    StructField("doc_id", StringType, nullable = true),
-    StructField("tokens", ArrayType(IntegerType, containsNull = false),
-      nullable = true),
-    StructField("n_tok", IntegerType, nullable = true),
-    StructField("source", StringType, nullable = true),
-    StructField("attrs", MapType(StringType, StringType), nullable = true),
-    // round-3 suite-port columns: fractional numerics (multipleOf /
-    // bounds float traps) and free text (unicode pattern / length)
-    StructField("score", DoubleType, nullable = true),
-    StructField("text", StringType, nullable = true)))
-
-  private def rowFrom(n: JsonNode): Row = Row(
-    Option(n.get("doc_id")).filterNot(_.isNull).map(_.asText()).orNull,
-    Option(n.get("tokens")).filterNot(_.isNull)
-      .map(_.elements().asScala.map(_.asInt()).toSeq).orNull,
-    Option(n.get("n_tok")).filterNot(_.isNull)
-      .map(v => Int.box(v.asInt())).orNull,
-    Option(n.get("source")).filterNot(_.isNull).map(_.asText()).orNull,
-    Option(n.get("attrs")).filterNot(_.isNull)
-      .map(o => o.properties().asScala
-        .map(e => e.getKey -> e.getValue.asText()).toMap).orNull,
-    Option(n.get("score")).filterNot(_.isNull)
-      .map(v => Double.box(v.asDouble())).orNull,
-    Option(n.get("text")).filterNot(_.isNull).map(_.asText()).orNull)
+  import ConformanceRows.{rowSchema, rowFrom}
 
   test("conformance corpus: every case matches its golden verdict") {
     val in = getClass.getClassLoader
