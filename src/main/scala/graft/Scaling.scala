@@ -80,25 +80,59 @@ object Scaling {
       case _ => _ => false
     }
     // "withtokens": the full suite PLUS token-histogram drift — priced
-    // separately because exploding every token dominates the pass
-    val constraints =
+    // separately because exploding every token dominates the pass.
+    // "colocated": the full suite against a doc_id-BUCKETED copy of the
+    // table with Unique(colocated = true) — the 10^12 deployment shape
+    // where the uniqueness exchange disappears entirely.
+    val constraints0 =
       (if (mode == "withtokens")
          benchSuite.constraints :+ C.NoArrayDrift("token_hist_stable",
            "tokens", 64, "psi", 0.2, 1000L)
        else benchSuite.constraints).filterNot(dropped)
+    val constraints =
+      if (mode == "colocated")
+        constraints0.map {
+          case u: C.Unique => u.copy(colocated = true)
+          case c           => c
+        }
+      else constraints0
     val suite = ConstraintCompiler.compile(
       ConstraintSuite(benchSuite.id, constraints))
     // DataFrame (and its file index) built once, outside the timed loop —
     // the validate-many analogue of the reference's reusable compiled
     // template; file listing is a constant driver cost at any cluster
     // size and would otherwise drown the scalable portion at this SF.
-    val df = spark.read.parquet(dir)
+    val df =
+      if (mode == "colocated") bucketedTable(spark, dir, nRows)
+      else spark.read.parquet(dir)
     // warm-up passes (JIT + codegen: steady state arrives after ~2)
     runOnce(spark, df, suite); runOnce(spark, df, suite)
     val times = (1 to reps).map { _ => runOnce(spark, df, suite) }
     System.err.println(
       f"[scaling] times=${times.map(t => f"$t%.2f").mkString(",")}s")
     (nRows / median(times), nRows, times)
+  }
+
+  /** A doc_id-bucketed copy of the bench table (the storage layout the
+    * colocated uniqueness path presumes). Bucket metadata lives in the
+    * session catalog, so the table is (re)registered per JVM — a
+    * one-time cost outside the timed loop, the local stand-in for an
+    * Iceberg `bucket(doc_id)` partition transform. Bucket count is
+    * FIXED (32) across parallelism levels: layout is a property of the
+    * table, not of the reader. */
+  private def bucketedTable(spark: SparkSession, parquetDir: String,
+      nRows: Long): org.apache.spark.sql.DataFrame = {
+    val name = s"graft_bucketed_$nRows"
+    if (!spark.catalog.tableExists(name)) {
+      // repartition by the SAME hash the bucketing applies so each
+      // writer task holds exactly one bucket → one file per bucket
+      // (bucketBy alone writes files-per-input-task × buckets — 2048
+      // shards whose open/rowgroup overhead dominates the scan)
+      spark.read.parquet(parquetDir)
+        .repartition(32, org.apache.spark.sql.functions.col("doc_id"))
+        .write.bucketBy(32, "doc_id").mode("overwrite").saveAsTable(name)
+    }
+    spark.table(name)
   }
 
   private def runOnce(spark: SparkSession,
@@ -134,6 +168,7 @@ object Scaling {
       // single-disk artifact otherwise dominates the shuffle-heavy suite
       // at high thread counts and understates cluster scaling.
       .config("spark.local.dir", localDir)
+      .config("spark.sql.warehouse.dir", s"$DataDir/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
