@@ -123,6 +123,10 @@ object Scaling {
   private def bucketedTable(spark: SparkSession, parquetDir: String,
       nRows: Long): org.apache.spark.sql.DataFrame = {
     val name = s"graft_bucketed_$nRows"
+    // the exists-guard only spans THIS JVM (in-memory catalog): each
+    // `measure` run starts fresh, so a regenerated parquet source can't
+    // be shadowed by a stale bucketed copy across runs; within a JVM the
+    // source is immutable (ensureData writes once)
     if (!spark.catalog.tableExists(name)) {
       // repartition by the SAME hash the bucketing applies so each
       // writer task holds exactly one bucket → one file per bucket

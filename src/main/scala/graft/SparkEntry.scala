@@ -450,8 +450,8 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
         |           CAST(l_linenumber AS VARCHAR),
-        |         '/l_discount', 'l_discount >= 0 and < 0.1'
-        |  FROM lineitem WHERE NOT (l_discount >= 0 AND l_discount < 0.1)
+        |         '/l_discount', 'l_discount < 0.1'
+        |  FROM lineitem WHERE NOT (l_discount < 0.1)
         |  UNION ALL
         |  SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
         |           CAST(l_linenumber AS VARCHAR),

@@ -306,10 +306,14 @@ object ConstraintCompiler {
               Seq.fill(p)(BoolSchema(s"$id.covered", true)) ++
                 Seq.fill(s - p)(rw(elem)))
         }
-      case UnevaluatedProperties(id, col, elem, _, _) =>
+      case UnevaluatedProperties(id, col, elem, ks0, ps0) =>
+        // UNION the declared coverage (e.g. an importer that knows its
+        // patternProperties sit inside an anyOf branch this pass cannot
+        // see) with the coverage computed from top-level siblings
         val (full, ks, ps) = propsCoverage(col)
         if (full) BoolSchema(id, true)
-        else UnevaluatedProperties(id, col, rw(elem), ks, ps)
+        else UnevaluatedProperties(id, col, rw(elem),
+          (ks0 ++ ks).distinct, (ps0 ++ ps).distinct)
       case AllOf(id, cs)  => AllOf(id, cs.map(rw))
       case AnyOf(id, cs)  => AnyOf(id, cs.map(rw))
       case OneOf(id, cs)  => OneOf(id, cs.map(rw))

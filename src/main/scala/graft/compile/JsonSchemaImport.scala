@@ -116,10 +116,14 @@ object JsonSchemaImport {
       Option(node.get(f)).filterNot(_.isNull).map(_.asInt())
 
     /** True when the object subschema's keywords imply open keys — the
-      * map<string,string>-column flavor. */
+      * map<string,string>-column flavor. `properties` +
+      * `additionalProperties` alone is the standard CLOSED-struct idiom
+      * and stays struct-flavored (a fixed struct cannot carry
+      * additional fields, so the keyword is structural there). */
     def mapFlavored(s: JsonNode): Boolean =
-      Seq("patternProperties", "propertyNames", "additionalProperties",
-        "minProperties", "maxProperties").exists(s.has)
+      Seq("patternProperties", "propertyNames",
+        "minProperties", "maxProperties").exists(s.has) ||
+        (s.has("additionalProperties") && !s.has("properties"))
 
     def allOfWrap(path: String, cs: Seq[Constraint]): Constraint = cs match {
       case Seq(one) => one
@@ -173,27 +177,49 @@ object JsonSchemaImport {
       }
 
       // ---- scalar assertions ---------------------------------------
+      // JSON Schema compares enum/const numerics by VALUE, not lexeme
+      // ("1.0" must match enum member 1): numeric members lower to a
+      // point Bounds (numeric comparison); non-scalar members cannot be
+      // expressed against scalar columns and must refuse, not silently
+      // become asText() === "".
+      def memberEq(v: JsonNode, kw: String): Constraint =
+        if (v.isNumber)
+          Bounds(fresh(path, s"${kw}_num"), path,
+            Some(BigDecimal(v.decimalValue())),
+            Some(BigDecimal(v.decimalValue())))
+        else if (v.isTextual || v.isBoolean || v.isNull)
+          ConstEq(fresh(path, kw), path, v.asText())
+        else throw new ImportException(
+          s"$kw member $v at '$path' is not scalar — object/array " +
+            "values cannot be compared against a scalar column")
       Option(s.get("enum")).foreach { e =>
-        out += IsIn(fresh(path, "enum"), path,
-          e.elements().asScala.map(_.asText()).toSeq)
+        val members = e.elements().asScala.toSeq
+        if (members.forall(m => m.isTextual || m.isBoolean))
+          out += IsIn(fresh(path, "enum"), path, members.map(_.asText()))
+        else
+          out += AnyOf(fresh(path, "enum"),
+            members.map(memberEq(_, "enum")))
       }
-      Option(s.get("const")).foreach(c =>
-        out += ConstEq(fresh(path, "const"), path, c.asText()))
+      Option(s.get("const")).foreach(c => out += memberEq(c, "const"))
 
+      // minimum/maximum and NUMERIC exclusiveMinimum/Maximum are
+      // independent assertions in 2020-12 (both can appear and both
+      // bind); only the draft-4 BOOLEAN form modifies minimum/maximum
       val exMinB = Option(s.get("exclusiveMinimum")).exists(_.isBoolean)
       val exMaxB = Option(s.get("exclusiveMaximum")).exists(_.isBoolean)
       val mn = num(s, "minimum")
-        .orElse(if (exMinB) None else num(s, "exclusiveMinimum"))
       val mx = num(s, "maximum")
-        .orElse(if (exMaxB) None else num(s, "exclusiveMaximum"))
-      val exMin = // draft-4 boolean form OR 2020-12 numeric form
-        (exMinB && s.get("exclusiveMinimum").asBoolean()) ||
-          (num(s, "minimum").isEmpty && num(s, "exclusiveMinimum").isDefined)
-      val exMax =
-        (exMaxB && s.get("exclusiveMaximum").asBoolean()) ||
-          (num(s, "maximum").isEmpty && num(s, "exclusiveMaximum").isDefined)
       if (mn.isDefined || mx.isDefined)
-        out += Bounds(fresh(path, "bounds"), path, mn, mx, exMin, exMax)
+        out += Bounds(fresh(path, "bounds"), path, mn, mx,
+          exMinB && s.get("exclusiveMinimum").asBoolean(),
+          exMaxB && s.get("exclusiveMaximum").asBoolean())
+      if (!exMinB || !exMaxB) {
+        val emn = if (exMinB) None else num(s, "exclusiveMinimum")
+        val emx = if (exMaxB) None else num(s, "exclusiveMaximum")
+        if (emn.isDefined || emx.isDefined)
+          out += Bounds(fresh(path, "xbounds"), path, emn, emx,
+            emn.isDefined, emx.isDefined)
+      }
       num(s, "multipleOf").foreach(k =>
         out += MultipleOf(fresh(path, "multipleOf"), path, k))
 
@@ -224,7 +250,10 @@ object JsonSchemaImport {
           prefix.map(p => allOfWrap("$", lower(p, "$", refStack))))
       val tailSchema: Option[JsonNode] =
         Option(s.get("items")).filterNot(_.isArray)
-          .orElse(Option(s.get("additionalItems"))) // draft-7 form
+          // draft-7 form: additionalItems binds ONLY alongside
+          // array-form items (ignored otherwise, per the official suite)
+          .orElse(Option(s.get("additionalItems"))
+            .filter(_ => Option(s.get("items")).exists(_.isArray)))
       tailSchema.foreach { it =>
         val elem = allOfWrap("$", lower(it, "$", refStack))
         out += (if (prefix.isEmpty) EachElement(fresh(path, "items"), path, elem)
@@ -242,6 +271,12 @@ object JsonSchemaImport {
 
       // ---- objects --------------------------------------------------
       val props = Option(s.get("properties")).filter(_.isObject)
+      if (path.isEmpty && mapFlavored(s))
+        throw new ImportException(
+          "patternProperties/propertyNames/additionalProperties-" +
+            "without-properties/minProperties/maxProperties at the ROW " +
+            "level are not meaningful for a fixed table schema — " +
+            "columns ARE the schema")
       val isMap = path.nonEmpty && mapFlavored(s)
       if (isMap) {
         props.foreach(_.properties().asScala.foreach { e =>
@@ -288,9 +323,19 @@ object JsonSchemaImport {
         props.foreach(_.properties().asScala.foreach { e =>
           out ++= lower(e.getValue, childPath(e.getKey), refStack)
         })
-        Option(s.get("required")).foreach(_.elements().asScala.foreach(r =>
-          out += NotNull(fresh(childPath(r.asText()), "required"),
-            childPath(r.asText()))))
+        // struct-flavor additionalProperties (alongside properties) is
+        // structural: a fixed struct has no additional fields to reject
+        Option(s.get("required")).foreach(_.elements().asScala.foreach { r =>
+          val child = childPath(r.asText())
+          // nested required applies only when the parent object is
+          // PRESENT (JSON Schema applicability: a subschema does not
+          // constrain an absent instance)
+          out += (if (path.isEmpty)
+            NotNull(fresh(child, "required"), child)
+          else IfThen(fresh(child, "required"),
+            NotNull(fresh(path, "present"), path),
+            NotNull(fresh(child, "requiredNN"), child)))
+        })
         Option(s.get("dependentRequired")).foreach(
           _.properties().asScala.foreach { e =>
             val needed = e.getValue.elements().asScala.map(x =>

@@ -175,6 +175,95 @@ class JsonSchemaImportSpec extends SparkSpec {
       "web_big" -> false, "no_src" -> false))
   }
 
+  test("minimum and numeric exclusiveMinimum both bind independently") {
+    // 2020-12: both keywords assert; neither may shadow the other
+    val schema = """{
+      "type": "object",
+      "properties": {"n_tok": {"minimum": 0, "exclusiveMinimum": 5}}
+    }"""
+    val df = Seq(("below_x", 3), ("at_x", 5), ("above", 6))
+      .toDF("doc_id", "n_tok")
+    assert(verdicts(schema, df) == Map(
+      "below_x" -> false, "at_x" -> false, "above" -> true))
+  }
+
+  test("additionalItems without array-form items is ignored (draft-7)") {
+    val schema = """{
+      "type": "object",
+      "properties": {
+        "tokens": {"additionalItems": {"maximum": 5}, "minItems": 1}
+      }
+    }"""
+    // [10, 2000] would fail a maximum-5 element check — additionalItems
+    // must NOT bind without array-form items
+    val df = Seq(("any", Seq(10, 2000))).toDF("doc_id", "tokens")
+    assert(verdicts(schema, df) == Map("any" -> true))
+  }
+
+  test("properties + additionalProperties:false stays struct-flavored") {
+    // the standard CLOSED-object idiom must recurse into struct paths,
+    // not emit map operators that would crash on a struct column
+    val schema = """{
+      "type": "object",
+      "properties": {
+        "meta": {
+          "type": "object",
+          "properties": {"q": {"minimum": 0}},
+          "required": ["q"],
+          "additionalProperties": false
+        }
+      }
+    }"""
+    val df = Seq(
+      ("present_ok", Some((5, "x"))),
+      ("present_bad", Some((-1, "x"))),
+      ("absent_parent", None))
+      .toDF("doc_id", "meta_raw")
+      .selectExpr("doc_id",
+        "CASE WHEN meta_raw IS NULL THEN NULL " +
+          "ELSE named_struct('q', meta_raw._1, 'tag', meta_raw._2) END AS meta")
+    // nested required applies only when the parent object is present
+    assert(verdicts(schema, df) == Map(
+      "present_ok" -> true, "present_bad" -> false,
+      "absent_parent" -> true))
+    // but a present parent with a null field violates it
+    val df2 = Seq(("null_field", 1)).toDF("doc_id", "x")
+      .selectExpr("doc_id",
+        "named_struct('q', CAST(NULL AS INT), 'tag', 'y') AS meta")
+    assert(verdicts(schema, df2) == Map("null_field" -> false))
+  }
+
+  test("numeric enum members compare by value, not lexeme") {
+    val schema = """{
+      "type": "object",
+      "properties": {"score": {"enum": [1, 2.5]}}
+    }"""
+    val df = Seq(("one", 1.0), ("twofive", 2.5), ("other", 1.5))
+      .toDF("doc_id", "score")
+    assert(verdicts(schema, df) == Map(
+      "one" -> true, "twofive" -> true, "other" -> false))
+    // non-scalar const refuses instead of comparing against ""
+    val e = intercept[JsonSchemaImport.ImportException] {
+      JsonSchemaImport.translate(
+        """{"type":"object","properties":{"a":{"const":{"b":1}}}}""")
+    }
+    assert(e.getMessage.contains("not scalar"))
+  }
+
+  test("row-level open-key object keywords are refused") {
+    val e = intercept[JsonSchemaImport.ImportException] {
+      JsonSchemaImport.translate(
+        """{"type":"object","patternProperties":{"^x":{}}}""")
+    }
+    assert(e.getMessage.contains("ROW level"))
+    // closed ROOT object (properties + additionalProperties:false) is
+    // the structural no-op, not an error
+    val s = JsonSchemaImport.translate("""{
+      "type": "object", "additionalProperties": false,
+      "properties": {"n_tok": {"minimum": 0}}}""")
+    assert(s.constraints.nonEmpty)
+  }
+
   test("unknown assertion keyword refuses to under-enforce") {
     val e = intercept[JsonSchemaImport.ImportException] {
       JsonSchemaImport.translate(
