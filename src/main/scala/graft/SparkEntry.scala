@@ -678,45 +678,11 @@ object SparkEntry {
         |       ROUND(l[4], 2) AS q95, TRUE AS q95_ok,
         |       ROUND(l[5], 2) AS q99, TRUE AS q99_ok
         |FROM q""".stripMargin,
-    "d_minhash" ->
-      s"""WITH $NearDupCorpusSql,
-         |g AS (SELECT id,
-         |  list_distinct(list_transform(
-         |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
-         |    ELSE list_transform(range(1, len(w) - 3),
-         |      i -> array_to_string(w[i:i+4], ' ')) END,
-         |    s -> hash(s))) AS grams
-         |  FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-         |        FROM corpus)),
-         |j AS (SELECT a.id AS id_a, b.id AS id_b,
-         |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-         |    / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
-         |  FROM g a, g b WHERE a.id < b.id
-         |    -- sound prefilter: J >= 0.8 implies min/max set sizes >= 0.8
-         |    AND len(a.grams) >= 0.8 * len(b.grams)
-         |    AND len(b.grams) >= 0.8 * len(a.grams))
-         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin,
+    "d_minhash" -> minhashOracleSql,
     // identical result contract to d_minhash — the staged path must not
-    // change the verified pair set, only the plan shape
-    "d_minhash_staged" ->
-      s"""WITH $NearDupCorpusSql,
-         |g AS (SELECT id,
-         |  list_distinct(list_transform(
-         |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
-         |    ELSE list_transform(range(1, len(w) - 3),
-         |      i -> array_to_string(w[i:i+4], ' ')) END,
-         |    s -> hash(s))) AS grams
-         |  FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-         |        FROM corpus)),
-         |j AS (SELECT a.id AS id_a, b.id AS id_b,
-         |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-         |    / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
-         |  FROM g a, g b WHERE a.id < b.id
-         |    AND len(a.grams) >= 0.8 * len(b.grams)
-         |    AND len(b.grams) >= 0.8 * len(a.grams))
-         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin,
+    // change the verified pair set, only the plan shape; ONE oracle
+    // string serves both so the contract cannot silently drift
+    "d_minhash_staged" -> minhashOracleSql,
     "d_simhash" ->
       s"""WITH $NearDupCorpusSql,
          |corpus2 AS (
@@ -859,6 +825,29 @@ object SparkEntry {
         |       WHEN 1 THEN 44 + 16 * (1 + doc_id % 2) * (10 + doc_id % 50)
         |       ELSE 132 END AS INTEGER) AS byte_len
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin)
+
+  /** Brute-force exact-Jaccard pair oracle over the near-dup corpus
+    * (with the sound size-ratio prefilter) — shared verbatim by
+    * `d_minhash` and `d_minhash_staged`. */
+  private lazy val minhashOracleSql: String =
+    s"""WITH $NearDupCorpusSql,
+       |g AS (SELECT id,
+       |  list_distinct(list_transform(
+       |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+       |    ELSE list_transform(range(1, len(w) - 3),
+       |      i -> array_to_string(w[i:i+4], ' ')) END,
+       |    s -> hash(s))) AS grams
+       |  FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |        FROM corpus)),
+       |j AS (SELECT a.id AS id_a, b.id AS id_b,
+       |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       |    / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+       |  FROM g a, g b WHERE a.id < b.id
+       |    -- sound prefilter: J >= 0.8 implies min/max set sizes >= 0.8
+       |    AND len(a.grams) >= 0.8 * len(b.grams)
+       |    AND len(b.grams) >= 0.8 * len(a.grams))
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** The near-dup corpus (docs + suffixed variants) as a SQL CTE —
     * kept textually identical across the oracles that rebuild it. */

@@ -391,7 +391,10 @@ object ConstraintCompiler {
       val approx =
         F.pmod(v.cast("double"), F.lit(k.toDouble)) === F.lit(0.0)
       nullPasses(v,
-        F.when(F.abs(v.cast("double")) < 1e25, exact).otherwise(approx))
+        // decimal(38,12) carries 26 integer digits, so everything below
+        // 1e26 stays on the EXACT branch (1e25 would needlessly degrade
+        // the top decade of in-range values to double remainder)
+        F.when(F.abs(v.cast("double")) < 1e26, exact).otherwise(approx))
 
     case LengthBounds(_, col, mn, mx) =>
       val v = res(col, scope)

@@ -39,7 +39,10 @@ object ConnectedComponents {
   /**
    * Component assignment for every node in `pairs`:
    * `(doc_id, group_id, keep)` where `group_id` is the component's
-   * minimum id and `keep` marks the representative. Nodes that appear
+   * minimum id IN STRING ORDER — ids are cast to string internally, so
+   * numeric ids pick the lexicographic minimum ("10" < "2"); zero-pad
+   * numeric ids upstream if numeric order must choose the
+   * representative. `keep` marks that representative. Nodes that appear
    * in no pair are their own trivial group and are NOT emitted — union
    * the corpus back in (left join, coalesce to self) when a total
    * assignment is needed.

@@ -108,6 +108,10 @@ object Ivf {
       centroids: Array[Array[Double]], path: String): Unit =
     corpus.select(
         F.col(idCol).cast("string").as("neighbor_id"),
+        // double storage unifies the index schema; numerically it
+        // changes nothing vs topK's raw column — float→double widening
+        // is exact and the scoring expressions (VectorOps) widen every
+        // element to double before accumulating anyway
         F.col(vecCol).cast("array<double>").as("cv"),
         NearestCell(F.col(vecCol), centroids).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -122,7 +126,12 @@ object Ivf {
       queries: DataFrame, indexPath: String,
       idCol: String, vecCol: String, k: Int,
       centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    // materialize the (small, broadcast-capped) probe set ONCE: it is
+    // consumed twice below (cell collect + broadcast join), and an
+    // uncheckpointed plan would re-run the query-side scan + window +
+    // cap-probe for each consumer
     val probes = probeCells(queries, idCol, vecCol, centroids, nprobe)
+      .localCheckpoint()
     val cells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
     val pruned = spark.read.parquet(indexPath)

@@ -47,15 +47,7 @@ object IvfPruneDemo {
       k = 5, centroids, nprobe = nprobe)
     res.collect() // execute THIS QueryExecution so scan metrics populate
 
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case qs: QueryStageExec       => scans(qs.plan)
-      case s: FileSourceScanExec    => Seq(s)
-      case other                    => other.children.flatMap(scans)
-    }
-    val readFiles = scans(res.queryExecution.executedPlan)
+    val readFiles = PlanWalk.fileScans(res.queryExecution.executedPlan)
       .map(_.metrics("numFiles").value).sum
     val planLine = res.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("PartitionFilters"))

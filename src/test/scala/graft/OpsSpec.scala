@@ -94,14 +94,7 @@ class OpsSpec extends SparkSpec {
       plan.take(3000))
     // …and the numFiles metric proves FILE-LEVEL pruning: only the two
     // probed cells' files were listed and read
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case qs: QueryStageExec       => scans(qs.plan)
-      case s: FileSourceScanExec    => Seq(s)
-      case other                    => other.children.flatMap(scans)
-    }
+    import graft.tools.PlanWalk.{fileScans => scans}
     def countFiles(sub: String): Long = {
       val d = new java.io.File(dir, sub)
       d.listFiles((_, n) => n.endsWith(".parquet")).length.toLong

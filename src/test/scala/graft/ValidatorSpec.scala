@@ -363,20 +363,9 @@ class ValidatorSpec extends SparkSpec {
   }
 
   test("colocated uniqueness: bucketed source runs with ZERO shuffles") {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.execution.SparkPlan
-
     def shuffles(df: DataFrame): Int = {
       df.collect() // materialize so AQE finalizes the plan
-      def count(p: SparkPlan): Int = p match {
-        case a: AdaptiveSparkPlanExec => count(a.executedPlan)
-        // materialized AQE stages are leaves wrapping the real exchange
-        case q: QueryStageExec        => count(q.plan)
-        case s: ShuffleExchangeLike   => 1 + s.children.map(count).sum
-        case other => other.children.map(count).sum
-      }
-      count(df.queryExecution.executedPlan)
+      graft.tools.PlanWalk.shuffleCount(df.queryExecution.executedPlan)
     }
 
     val df = seqDf(
