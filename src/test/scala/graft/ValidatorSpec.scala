@@ -63,6 +63,16 @@ class ValidatorSpec extends SparkSpec {
     val dfFrac = Seq(Tuple1(0.0075)).toDF("v")
     assert(rowValid(dfFrac, MultipleOf("c", "v", BigDecimal("0.0001"))))
     assert(!rowValid(dfFrac, MultipleOf("c", "v", BigDecimal("0.0002"))))
+    // a 26-digit decimal (top decade below 1e26) must stay on the EXACT
+    // branch: 10^25 is a true multiple of 10, which the double-remainder
+    // fallback gets wrong (double(10^25) % 10 = 4)
+    val dfWide = spark.sql(
+      "SELECT CAST('10000000000000000000000000' AS DECIMAL(38,0)) AS v")
+    assert(rowValid(dfWide, MultipleOf("c", "v", BigDecimal(10))))
+    assert(!rowValid(dfWide, MultipleOf("c", "v", BigDecimal(7))))
+    // past decimal range the double fallback still answers, not crashes
+    val dfHuge = Seq(Tuple1(1e308)).toDF("v")
+    assert(!rowValid(dfHuge, MultipleOf("c", "v", BigDecimal("0.123456789"))))
   }
 
   test("array keywords: size, uniqueItems, eachElement, contains, prefix") {
