@@ -64,7 +64,15 @@ object JsonSchemaImport {
     "not", "if", "then", "else", "$ref", "$dynamicRef",
     "unevaluatedItems", "unevaluatedProperties")
 
-  def translate(schemaJson: String, suiteId: String = null): ConstraintSuite = {
+  /** `typedColumns = true` (default): columns are statically typed, so
+    * numeric keywords sit on numeric columns and lower to plain
+    * comparisons (the hot-path shape). `false`: emit full JSON-value
+    * applicability semantics — numeric keywords wrap in a content-is-
+    * number guard so non-numeric values PASS them (2020-12: `minimum`
+    * does not constrain a string instance) instead of raising an ANSI
+    * cast error on string columns. */
+  def translate(schemaJson: String, suiteId: String = null,
+      typedColumns: Boolean = true): ConstraintSuite = {
     val root =
       try mapper.readTree(schemaJson)
       catch {
@@ -178,20 +186,32 @@ object JsonSchemaImport {
 
       // ---- scalar assertions ---------------------------------------
       // JSON Schema compares enum/const numerics by VALUE, not lexeme
-      // ("1.0" must match enum member 1): numeric members lower to a
-      // point Bounds (numeric comparison); non-scalar members cannot be
-      // expressed against scalar columns and must refuse, not silently
-      // become asText() === "".
+      // ("1.0" must match enum member 1, content-typed like typeIs):
+      // numeric members lower to a content-is-number guard AND a point
+      // Bounds — the guard makes non-numeric content a clean non-match
+      // (And short-circuits, so the numeric cast never executes on a
+      // non-numeric string) instead of an ANSI cast task failure.
+      // Non-scalar members cannot be expressed against scalar columns
+      // and must refuse, not silently become asText() === "".
       def memberEq(v: JsonNode, kw: String): Constraint =
         if (v.isNumber)
-          Bounds(fresh(path, s"${kw}_num"), path,
-            Some(BigDecimal(v.decimalValue())),
-            Some(BigDecimal(v.decimalValue())))
+          AllOf(fresh(path, s"${kw}_num"), Seq(
+            TypeIs(fresh(path, s"${kw}_isnum"), path, "number"),
+            Bounds(fresh(path, s"${kw}_eq"), path,
+              Some(BigDecimal(v.decimalValue())),
+              Some(BigDecimal(v.decimalValue())))))
         else if (v.isTextual || v.isBoolean || v.isNull)
           ConstEq(fresh(path, kw), path, v.asText())
         else throw new ImportException(
           s"$kw member $v at '$path' is not scalar — object/array " +
             "values cannot be compared against a scalar column")
+
+      // full applicability semantics (typedColumns = false): a numeric
+      // keyword simply does not apply to non-numeric content
+      def numGuard(c: Constraint): Constraint =
+        if (typedColumns) c
+        else IfThen(s"${c.id}.applies",
+          TypeIs(s"${c.id}.isnum", path, "number"), c)
       Option(s.get("enum")).foreach { e =>
         val members = e.elements().asScala.toSeq
         if (members.forall(m => m.isTextual || m.isBoolean))
@@ -210,18 +230,18 @@ object JsonSchemaImport {
       val mn = num(s, "minimum")
       val mx = num(s, "maximum")
       if (mn.isDefined || mx.isDefined)
-        out += Bounds(fresh(path, "bounds"), path, mn, mx,
+        out += numGuard(Bounds(fresh(path, "bounds"), path, mn, mx,
           exMinB && s.get("exclusiveMinimum").asBoolean(),
-          exMaxB && s.get("exclusiveMaximum").asBoolean())
+          exMaxB && s.get("exclusiveMaximum").asBoolean()))
       if (!exMinB || !exMaxB) {
         val emn = if (exMinB) None else num(s, "exclusiveMinimum")
         val emx = if (exMaxB) None else num(s, "exclusiveMaximum")
         if (emn.isDefined || emx.isDefined)
-          out += Bounds(fresh(path, "xbounds"), path, emn, emx,
-            emn.isDefined, emx.isDefined)
+          out += numGuard(Bounds(fresh(path, "xbounds"), path, emn, emx,
+            emn.isDefined, emx.isDefined))
       }
       num(s, "multipleOf").foreach(k =>
-        out += MultipleOf(fresh(path, "multipleOf"), path, k))
+        out += numGuard(MultipleOf(fresh(path, "multipleOf"), path, k)))
 
       if (s.has("minLength") || s.has("maxLength"))
         out += LengthBounds(fresh(path, "length"), path,

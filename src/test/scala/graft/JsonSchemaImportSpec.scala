@@ -250,6 +250,36 @@ class JsonSchemaImportSpec extends SparkSpec {
     assert(e.getMessage.contains("not scalar"))
   }
 
+  test("numeric keywords on string columns: no ANSI crash") {
+    // enum member 5 against string content: content-typed value match,
+    // and junk content is a clean non-match — never a task failure
+    val schema = """{
+      "type": "object",
+      "properties": {"source": {"enum": [5, "web"]}}
+    }"""
+    val df = Seq(("txt", "web"), ("num", "5"), ("junk", "abc"))
+      .toDF("doc_id", "source")
+    assert(verdicts(schema, df) == Map(
+      "txt" -> true, "num" -> true, "junk" -> false))
+
+    // typedColumns = false: full applicability semantics — minimum
+    // does not constrain non-numeric content (2020-12), numeric
+    // content still checked
+    val boundsSchema = """{
+      "type": "object",
+      "properties": {"source": {"minimum": 3}}
+    }"""
+    val suite = ConstraintCompiler.compile(JsonSchemaImport.translate(
+      boundsSchema, typedColumns = false))
+    val got = df.withColumn("ok", suite.rowPredicate)
+      .select("doc_id", "ok").as[(String, Boolean)].collect().toMap
+    assert(got == Map("txt" -> true, "junk" -> true, "num" -> true))
+    val df2 = Seq(("small", "2"), ("big", "7")).toDF("doc_id", "source")
+    val got2 = df2.withColumn("ok", suite.rowPredicate)
+      .select("doc_id", "ok").as[(String, Boolean)].collect().toMap
+    assert(got2 == Map("small" -> false, "big" -> true))
+  }
+
   test("row-level open-key object keywords are refused") {
     val e = intercept[JsonSchemaImport.ImportException] {
       JsonSchemaImport.translate(
