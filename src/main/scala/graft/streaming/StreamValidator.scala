@@ -136,4 +136,59 @@ object StreamValidator {
         F.sum(F.when(okc, 0L).otherwise(1L)).as("n_bad_rows"),
         F.coalesce(F.every(okc), F.lit(true)).as("rows_ok"))
   }
+
+  /** Windowed distribution drift — the streaming analogue of the batch
+    * PSI check (C5): per event-time window, an equal-width histogram of
+    * `col` over [lo, hi) is compared against a STATIC reference
+    * distribution (e.g. the training baseline) with PSI, emitting
+    * `(window, n_rows, psi, drifted)` at watermark passage.
+    *
+    * Shape notes for scale: ONE stateful aggregation (the histogram is
+    * built as `buckets` conditional sums inside the window aggregate —
+    * no per-bucket rows, no chained stateful operators, so append mode
+    * + watermark bounded-state semantics hold); the PSI arithmetic runs
+    * in the stateless projection AFTER the aggregate against the
+    * broadcast-as-literal reference array. Windows with fewer than
+    * `minRows` rows report `drifted = false` — a handful of samples
+    * cannot evidence drift (same floor as the batch check). */
+  def windowedDrift(
+      stream: DataFrame,
+      timeCol: String,
+      col: String,
+      lo: Double, hi: Double, buckets: Int,
+      reference: Array[Double],
+      threshold: Double,
+      windowDuration: String,
+      watermarkDelay: String,
+      minRows: Long = 100L): DataFrame = {
+    require(reference.length == buckets,
+      s"reference histogram has ${reference.length} bins, expected $buckets")
+    require(hi > lo && buckets > 0, "need hi > lo and buckets > 0")
+    val refSum = reference.sum
+    require(refSum > 0, "reference histogram is empty")
+    val eps = 1e-9
+    val v = F.col(col).cast("double")
+    // clamp into [0, buckets-1] so out-of-range values land in the edge
+    // bins rather than being dropped (mirrors the batch DriftCheck)
+    val bucket = F.least(F.lit(buckets - 1), F.greatest(F.lit(0),
+      F.floor((v - F.lit(lo)) / F.lit((hi - lo) / buckets)).cast("int")))
+    val counts = (0 until buckets).map(i =>
+      F.sum(F.when(bucket === i, 1L).otherwise(0L)).as(s"_b$i"))
+    val agg = stream
+      .filter(v.isNotNull)
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(F.window(F.col(timeCol), windowDuration))
+      .agg(F.count(F.lit(1)).as("n_rows"), counts: _*)
+    val n = F.col("n_rows").cast("double")
+    val psi = (0 until buckets).map { i =>
+      val p = F.col(s"_b$i").cast("double") / n + F.lit(eps)
+      val q = F.lit(reference(i) / refSum + eps)
+      (p - q) * F.log(p / q)
+    }.reduce(_ + _)
+    agg.select(
+      F.col("window"), F.col("n_rows"),
+      F.round(psi, 6).as("psi"),
+      (F.col("n_rows") >= minRows && F.round(psi, 6) > threshold)
+        .as("drifted"))
+  }
 }

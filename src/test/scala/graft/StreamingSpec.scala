@@ -96,4 +96,35 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains(("books", 1L, 0L, true)))
     } finally q.stop()
   }
+
+  test("windowed drift flags the shifted window against the reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEv]
+    // reference: uniform over the 4 bins of [0, 8)
+    val q = StreamValidator.windowedDrift(mem.toDF(),
+        "ts", "n_tok", lo = 0, hi = 8, buckets = 4,
+        reference = Array(1.0, 1.0, 1.0, 1.0), threshold = 0.25,
+        windowDuration = "10 minutes", watermarkDelay = "5 minutes",
+        minRows = 4L)
+      .writeStream.format("memory").queryName("drift_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window 10:00-10:10 matches the reference (one value per bin);
+      // window 10:10-10:20 is concentrated in the top bin
+      mem.addData(
+        StreamEv("a", 1, "web", ts(1)), StreamEv("b", 3, "web", ts(2)),
+        StreamEv("c", 5, "web", ts(3)), StreamEv("d", 7, "web", ts(4)),
+        StreamEv("e", 7, "web", ts(11)), StreamEv("f", 7, "web", ts(12)),
+        StreamEv("g", 7, "web", ts(13)), StreamEv("h", 6, "web", ts(14)))
+      q.processAllAvailable()
+      mem.addData(StreamEv("z", 1, "web", ts(59))) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("drift_sink")
+        .selectExpr("window.start", "n_rows", "drifted")
+        .as[(Timestamp, Long, Boolean)].collect()
+        .map { case (w, n, d) => (w.toString, n, d) }.toSet
+      assert(rows.contains(("2026-01-01 10:00:00.0", 4L, false)), rows)
+      assert(rows.contains(("2026-01-01 10:10:00.0", 4L, true)), rows)
+    } finally q.stop()
+  }
 }
