@@ -418,7 +418,14 @@ object SparkEntry {
                 8000, (1 + id % 2).toInt, 16, 10 + id % 50,
                 amplitude = (500 + id % 5000).toInt))
             case _ =>
-              ("video", MediaContainers.buildMp4(1000L + (id % 60) * 250L))
+              // real sample table + media data: frame count/sizes/fill
+              // bytes are closed-form in doc_id, so the oracle
+              // recomputes frames_sampled and frame_mean exactly
+              val nf = (5 + id % 10).toInt
+              ("video", MediaContainers.buildMp4(
+                1000L + (id % 60) * 250L,
+                frameSizes = (0 until nf).map(i => (10 + (id + i) % 20).toInt),
+                frameByte = i => ((id * 31 + 7 * i) % 251).toInt))
           }
           MediaRow(id.toString, kind, payload, Map.empty)
         }
@@ -426,6 +433,8 @@ object SparkEntry {
         .select(F.col("doc_id"), F.col("media_type"), F.col("width"),
           F.col("height"), F.col("duration_ms"), F.col("sample_rate"),
           F.col("channels"), F.round(F.col("rms"), 6).as("rms"),
+          F.col("frames_sampled"),
+          F.round(F.col("frame_mean"), 6).as("frame_mean"),
           F.col("byte_len"))
         .orderBy("doc_id")
     }))
@@ -803,7 +812,8 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "m_media" ->
-      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+      """WITH idx AS (SELECT i FROM range(0, 20) t(i))
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |       ELSE 'video' END AS media_type,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 64
@@ -820,10 +830,20 @@ object SparkEntry {
         |       ELSE 0 END AS INTEGER) AS channels,
         |  ROUND(CASE WHEN doc_id % 3 = 1 THEN CAST(500 + doc_id % 5000 AS DOUBLE)
         |       ELSE 0.0 END, 6) AS rms,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 0
+        |       ELSE (5 + doc_id % 10 + 1) // 2 END AS INTEGER)
+        |    AS frames_sampled,
+        |  ROUND(CASE WHEN doc_id % 3 = 2 THEN
+        |      (SELECT AVG(CAST((doc_id * 31 + 7 * i) % 251 AS DOUBLE))
+        |       FROM idx WHERE i < 5 + doc_id % 10 AND i % 2 = 0)
+        |    ELSE 0.0 END, 6) AS frame_mean,
         |  CAST(CASE doc_id % 3
         |       WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 41 END
         |       WHEN 1 THEN 44 + 16 * (1 + doc_id % 2) * (10 + doc_id % 50)
-        |       ELSE 132 END AS INTEGER) AS byte_len
+        |       ELSE 192 + 4 * (5 + doc_id % 10) +
+        |         (SELECT SUM(10 + (doc_id + i) % 20) FROM idx
+        |          WHERE i < 5 + doc_id % 10)
+        |       END AS INTEGER) AS byte_len
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin)
 
   /** Brute-force exact-Jaccard pair oracle over the near-dup corpus

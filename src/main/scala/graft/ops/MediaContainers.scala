@@ -24,7 +24,15 @@ object MediaContainers {
   final case class WavPcm(
       nFrames: Long, rms: Double, peak: Int)
 
-  final case class Mp4Info(timescaleHz: Int, durationMs: Long)
+  /** `frameSizes`/`mdatOffset` are populated when the container carries
+    * a sample table (`stsz`) and media data (`mdat`): enough for real
+    * frame-level access — offsets are cumulative from `mdatOffset` —
+    * without any codec. Empty/-1 for header-only containers. */
+  final case class Mp4Info(
+      timescaleHz: Int,
+      durationMs: Long,
+      frameSizes: Seq[Int] = Nil,
+      mdatOffset: Int = -1)
 
   // ----------------------------------------------------------------
   // WAV (RIFF)
@@ -137,40 +145,80 @@ object MediaContainers {
   // MP4 (ISO base media)
   // ----------------------------------------------------------------
 
-  def parseMp4(b: Array[Byte]): Option[Mp4Info] = {
-    // walk top-level boxes for moov, then moov's children for mvhd
-    var i = 0
-    while (i + 8 <= b.length) {
+  /** Find the first box tagged `t` among the children of [from, to). */
+  private def findBox(b: Array[Byte], from: Int, to: Int,
+      t: String): Option[(Int, Int)] = {
+    var i = from
+    while (i + 8 <= to) {
       val size = be32(b, i)
-      if (size < 8 || i + size > b.length) return None
-      if (tag(b, i + 4, "moov")) {
-        var j = i + 8
-        while (j + 8 <= i + size) {
-          val s2 = be32(b, j)
-          if (s2 < 8 || j + s2 > i + size) return None
-          if (tag(b, j + 4, "mvhd")) {
-            val version = b(j + 8) & 0xff
-            if (version != 0 || j + 8 + 24 > b.length) return None
-            val timescale = be32(b, j + 8 + 12)
-            val duration = be32(b, j + 8 + 16).toLong & 0xffffffffL
-            if (timescale <= 0) return None
-            return Some(Mp4Info(timescale, duration * 1000L / timescale))
-          }
-          j += s2
-        }
-        return None
-      }
+      if (size < 8 || i.toLong + size > to) return None
+      if (tag(b, i + 4, t)) return Some((i, size))
       i += size
     }
     None
   }
 
-  /** Minimal MP4: `ftyp` + `moov(mvhd v0)`. Always 132 bytes. */
-  def buildMp4(durationMs: Long, timescaleHz: Int = 1000): Array[Byte] = {
-    val buf = java.nio.ByteBuffer.allocate(132) // big-endian by default
+  def parseMp4(b: Array[Byte]): Option[Mp4Info] = {
+    val moov = findBox(b, 0, b.length, "moov").getOrElse(return None)
+    val (mi, msz) = moov
+    val mvhd = findBox(b, mi + 8, mi + msz, "mvhd").getOrElse(return None)
+    val j = mvhd._1
+    val version = b(j + 8) & 0xff
+    if (version != 0 || j + 8 + 24 > b.length) return None
+    val timescale = be32(b, j + 8 + 12)
+    val duration = be32(b, j + 8 + 16).toLong & 0xffffffffL
+    if (timescale <= 0) return None
+    // sample table (frame sizes): moov > trak > mdia > minf > stbl > stsz
+    val frames = for {
+      (ti, tsz) <- findBox(b, mi + 8, mi + msz, "trak")
+      (di, dsz) <- findBox(b, ti + 8, ti + tsz, "mdia")
+      (ni, nsz) <- findBox(b, di + 8, di + dsz, "minf")
+      (si, ssz) <- findBox(b, ni + 8, ni + nsz, "stbl")
+      (zi, zsz) <- findBox(b, si + 8, si + ssz, "stsz")
+      // stsz v0: ver+flags(4), sample_size(4), sample_count(4), sizes
+      n = be32(b, zi + 16)
+      if be32(b, zi + 12) == 0 && n >= 0 && zsz >= 20 + 4L * n
+    } yield (0 until n).map(k => be32(b, zi + 20 + 4 * k))
+    val mdatOff = findBox(b, 0, b.length, "mdat").map(_._1 + 8)
+    Some(Mp4Info(timescale, duration * 1000L / timescale,
+      frames.getOrElse(Nil),
+      if (frames.exists(_.nonEmpty)) mdatOff.getOrElse(-1) else -1))
+  }
+
+  /** Uniform-stride frame sampling over a parsed container — the
+    * training-pipeline "frame-sample" op at the byte level (no codec:
+    * real offsets and bytes, decode-to-pixels stays behind the codec
+    * boundary). Returns (frameIdx, byteOffset, size, firstByte) for
+    * every `stride`-th frame. */
+  def sampleFrames(b: Array[Byte], info: Mp4Info,
+      stride: Int): Seq[(Int, Int, Int, Int)] = {
+    if (info.mdatOffset < 0 || info.frameSizes.isEmpty || stride < 1)
+      return Nil
+    val offs = info.frameSizes.scanLeft(info.mdatOffset)(_ + _)
+    info.frameSizes.indices.collect {
+      case i if i % stride == 0 &&
+          offs(i) + info.frameSizes(i) <= b.length =>
+        (i, offs(i), info.frameSizes(i), b(offs(i)) & 0xff)
+    }
+  }
+
+  /** Minimal MP4: `ftyp` + `moov(mvhd v0)` — 132 bytes with no frames.
+    * With `frameSizes`, a real sample table and media data are added
+    * (`moov` gains `trak/mdia/minf/stbl/stsz`, plus a top-level `mdat`
+    * whose frame `i` is filled with `frameByte(i)`), so frame-level
+    * parsing has actual bytes to address. */
+  def buildMp4(durationMs: Long, timescaleHz: Int = 1000,
+      frameSizes: Seq[Int] = Nil,
+      frameByte: Int => Int = _ => 0): Array[Byte] = {
+    val n = frameSizes.length
+    val stszSz = 20 + 4 * n
+    val trakSz = if (n == 0) 0 else 32 + stszSz // trak+mdia+minf+stbl hdrs
+    val moovSz = 8 + 108 + trakSz
+    val mdatSz = if (n == 0) 0 else 8 + frameSizes.sum
+    val buf = java.nio.ByteBuffer.allocate(16 + moovSz + mdatSz)
     buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
     buf.put("isom".getBytes("US-ASCII")).putInt(0x200)
-    buf.putInt(116).put("moov".getBytes("US-ASCII"))
+    buf.putInt(moovSz).put("moov".getBytes("US-ASCII"))
     buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
     buf.putInt(0)                                 // version 0 + flags
     buf.putInt(0).putInt(0)                       // ctime, mtime
@@ -183,6 +231,22 @@ object MediaContainers {
       buf.putInt(v)                               // identity matrix
     for (_ <- 0 until 6) buf.putInt(0)            // pre-defined
     buf.putInt(2)                                 // next track id
+    if (n > 0) {
+      buf.putInt(trakSz).put("trak".getBytes("US-ASCII"))
+      buf.putInt(trakSz - 8).put("mdia".getBytes("US-ASCII"))
+      buf.putInt(trakSz - 16).put("minf".getBytes("US-ASCII"))
+      buf.putInt(trakSz - 24).put("stbl".getBytes("US-ASCII"))
+      buf.putInt(stszSz).put("stsz".getBytes("US-ASCII"))
+      buf.putInt(0)                               // version + flags
+      buf.putInt(0)                               // sample_size: per-entry
+      buf.putInt(n)
+      frameSizes.foreach(buf.putInt)
+      buf.putInt(mdatSz).put("mdat".getBytes("US-ASCII"))
+      frameSizes.zipWithIndex.foreach { case (sz, i) =>
+        val fill = (frameByte(i) & 0xff).toByte
+        buf.put(Array.fill(sz)(fill))
+      }
+    }
     buf.array()
   }
 

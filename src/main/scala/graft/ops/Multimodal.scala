@@ -14,7 +14,12 @@ final case class MediaRow(
 /** Extracted features for one asset (decode output). `sample_rate`,
   * `channels` and `rms` are audio-only (0 otherwise); `rms` comes from
   * REAL PCM frame decode ([[MediaContainers.parseWavPcm]]), not header
-  * fields. */
+  * fields. `frames_sampled`/`frame_mean` are video-only: when the
+  * container carries a sample table, every 2nd frame is actually
+  * addressed in the media data ([[MediaContainers.sampleFrames]]) and
+  * `frame_mean` is the mean first byte of the sampled frames — real
+  * byte-level frame sampling; pixel decode stays behind the codec
+  * boundary. */
 final case class MediaFeatures(
     doc_id: String,
     media_type: String,
@@ -26,6 +31,7 @@ final case class MediaFeatures(
     sample_rate: Int,
     channels: Int,
     rms: Double,
+    frame_mean: Double,
     payload_hash: Long)
 
 /**
@@ -59,9 +65,9 @@ final class HeaderDecoder extends MediaDecoder {
     r.media_type match {
       case "image" => ImageHeaders.parse(r.payload) match {
         case Some(d) => MediaFeatures(r.doc_id, r.media_type,
-          r.payload.length, d.width, d.height, 0L, 1, 0, 0, 0.0, h)
+          r.payload.length, d.width, d.height, 0L, 1, 0, 0, 0.0, 0.0, h)
         case None => MediaFeatures(r.doc_id, r.media_type,
-          r.payload.length, -1, -1, 0L, 1, 0, 0, 0.0, h)
+          r.payload.length, -1, -1, 0L, 1, 0, 0, 0.0, 0.0, h)
       }
       case "audio" => MediaContainers.parseWav(r.payload) match {
         case Some(w) =>
@@ -72,14 +78,25 @@ final class HeaderDecoder extends MediaDecoder {
             .map(_.rms).getOrElse(0.0)
           MediaFeatures(r.doc_id, r.media_type,
             r.payload.length, 0, 0, w.durationMs, 0, w.sampleRate,
-            w.channels, rms, h)
+            w.channels, rms, 0.0, h)
         case None => stub.decode(r)
       }
       case "video" => MediaContainers.parseMp4(r.payload) match {
-        // frames_sampled: the per-asset sampling plan (8 uniformly
-        // spaced frames) — actual frame extraction needs a codec
+        case Some(m) if m.frameSizes.nonEmpty =>
+          // REAL frame sampling: every 2nd frame addressed via the
+          // stsz offsets; frame_mean = mean first byte of the sampled
+          // frames (pixel decode stays behind the codec boundary)
+          val sampled = MediaContainers.sampleFrames(r.payload, m, 2)
+          val mean =
+            if (sampled.isEmpty) 0.0
+            else sampled.map(_._4).sum.toDouble / sampled.size
+          MediaFeatures(r.doc_id, r.media_type,
+            r.payload.length, 0, 0, m.durationMs, sampled.size, 0, 0,
+            0.0, math.rint(mean * 1e6) / 1e6, h)
+        // header-only container: frames_sampled is the sampling PLAN
+        // (8 uniformly spaced frames), nothing to address yet
         case Some(m) => MediaFeatures(r.doc_id, r.media_type,
-          r.payload.length, 0, 0, m.durationMs, 8, 0, 0, 0.0, h)
+          r.payload.length, 0, 0, m.durationMs, 8, 0, 0, 0.0, 0.0, h)
         case None => stub.decode(r)
       }
       case _ => stub.decode(r)
@@ -106,6 +123,7 @@ final class StubDecoder extends MediaDecoder {
       sample_rate = 0,
       channels = 0,
       rms = 0.0,
+      frame_mean = 0.0,
       payload_hash = h)
   }
 }
@@ -149,8 +167,11 @@ object Multimodal {
           MediaContainers.buildWav(8000, 1 + (i % 2).toInt, 16,
             10 + (i % 50))
         } else {
-          // real MP4 ftyp+moov/mvhd, duration doc-derived
-          MediaContainers.buildMp4(1000L + (i % 60) * 250L)
+          // real MP4 with sample table + media data, all doc-derived
+          val nf = (5 + i % 10).toInt
+          MediaContainers.buildMp4(1000L + (i % 60) * 250L,
+            frameSizes = (0 until nf).map(k => (10 + (i + k) % 20).toInt),
+            frameByte = k => ((i * 31 + 7 * k) % 251).toInt)
         }
       val codec = kind match {
         case "image" => if (i % 2 == 0) "png" else "jpeg"

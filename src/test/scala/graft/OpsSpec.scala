@@ -422,6 +422,21 @@ class OpsSpec extends SparkSpec {
     assert(MediaContainers.parseMp4(MediaContainers.buildMp4(2000, 600))
       .contains(Mp4Info(600, 2000)))
 
+    // sample table + media data: stsz parsed, frames addressable
+    val sizes = Seq(10, 20, 15)
+    val framed = MediaContainers.buildMp4(1000, 1000, sizes,
+      frameByte = i => 100 + i)
+    assert(framed.length == 192 + 4 * 3 + sizes.sum)
+    val info = MediaContainers.parseMp4(framed).get
+    assert(info.durationMs == 1000 && info.frameSizes == sizes)
+    assert(info.mdatOffset == framed.length - sizes.sum)
+    // every 2nd frame sampled: frames 0 and 2, with REAL byte access
+    val sampled = MediaContainers.sampleFrames(framed, info, 2)
+    assert(sampled == Seq((0, info.mdatOffset, 10, 100),
+      (2, info.mdatOffset + 30, 15, 102)))
+    // the addressed byte really is the frame's fill byte
+    assert((framed(info.mdatOffset + 30) & 0xff) == 102)
+
     // garbage and truncation parse to None, never throw
     assert(MediaContainers.parseWav(Array[Byte](1, 2, 3)).isEmpty)
     assert(MediaContainers.parseWav(wav.take(40)).isEmpty)
@@ -476,10 +491,13 @@ class OpsSpec extends SparkSpec {
     // deterministic: same input → same features
     val twice = Multimodal.extractFeatures(media)
     assert(feats.except(twice).isEmpty)
-    // images have no duration; videos sample frames
+    // images have no duration; videos actually sample every 2nd frame
+    // of their 5..14-frame tables (3..7 sampled)
     assert(feats.filter($"media_type" === "image")
       .filter($"duration_ms" =!= 0L).isEmpty)
     assert(feats.filter($"media_type" === "video")
-      .filter($"frames_sampled" =!= 8).isEmpty)
+      .filter($"frames_sampled" < 3 || $"frames_sampled" > 7).isEmpty)
+    assert(feats.filter($"media_type" === "video")
+      .filter($"frame_mean" <= 0.0).isEmpty)
   }
 }
