@@ -131,6 +131,80 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("importer fuzz: random schemas translate/compile/validate, " +
+      "never crash") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.compile.JsonSchemaImport
+
+    // random subschemas over the supported keyword families; depth ≤ 3
+    def leaf: Gen[String] = Gen.oneOf(
+      Gen.choose(-50, 50).map(n => s"""{"minimum": $n}"""),
+      Gen.choose(-50, 50).map(n => s"""{"maximum": $n}"""),
+      Gen.choose(1, 9).map(n => s"""{"exclusiveMinimum": $n}"""),
+      Gen.choose(1, 9).map(n => s"""{"multipleOf": $n}"""),
+      Gen.choose(0, 9).map(n => s"""{"minLength": $n}"""),
+      Gen.oneOf("^a", "[0-9]+", "x$").map(p => s"""{"pattern": "$p"}"""),
+      Gen.listOfN(2, Gen.oneOf("\"a\"", "\"b\"", "3", "4.5"))
+        .map(vs => s"""{"enum": [${vs.mkString(",")}]}"""),
+      Gen.oneOf("\"a\"", "7", "true").map(v => s"""{"const": $v}"""),
+      Gen.oneOf("true", "false"),
+      Gen.oneOf("integer", "number", "string")
+        .map(t => s"""{"type": "$t"}"""))
+    def node(depth: Int): Gen[String] =
+      if (depth <= 0) leaf
+      else Gen.frequency(
+        4 -> leaf,
+        1 -> Gen.listOfN(2, node(depth - 1))
+          .map(cs => s"""{"allOf": [${cs.mkString(",")}]}"""),
+        1 -> Gen.listOfN(2, node(depth - 1))
+          .map(cs => s"""{"anyOf": [${cs.mkString(",")}]}"""),
+        1 -> node(depth - 1).map(c => s"""{"not": $c}"""),
+        1 -> Gen.zip(node(depth - 1), node(depth - 1))
+          .map { case (i, t) => s"""{"if": $i, "then": $t}""" },
+        1 -> node(depth - 1).map(c =>
+          s"""{"items": $c, "minItems": 0}"""))
+    val genSchema = for {
+      s1 <- node(2); s2 <- node(2); s3 <- node(2); arr <- node(1)
+    } yield s"""{
+      "type": "object",
+      "properties": {
+        "n_tok": $s1, "score": $s2, "text": $s3,
+        "tokens": {"items": $arr}
+      }
+    }"""
+
+    val rows = Seq(
+      ("r1", Seq(1, 2), 5, "web", 1.0, "abc"),
+      ("r2", Seq(0), -3, "x9", 4.5, ""),
+      ("r3", Seq.empty[Int], 0, "books", -2.25, "zzz"))
+      .toDF("doc_id", "tokens", "n_tok", "source", "score", "text")
+
+    (1 to 40).foreach { i =>
+      val schema = genSchema(Gen.Parameters.default, Seed(7000L + i)).get
+      // contract: translate succeeds or raises ImportException; a
+      // schema-vs-column-type mismatch (array keyword on a scalar) may
+      // raise a DESCRIPTIVE AnalysisException at plan time — but once
+      // analysis passes, NO row content may produce a runtime task
+      // failure (typedColumns = false guards numeric keywords on
+      // non-numeric content, the adversarial-authoring mode)
+      try {
+        val suite = ConstraintCompiler.compile(
+          JsonSchemaImport.translate(schema, typedColumns = false))
+        rows.select(suite.rowPredicate.as("ok")).collect()
+      } catch {
+        case _: JsonSchemaImport.ImportException => () // descriptive
+        case _: org.apache.spark.sql.AnalysisException =>
+          () // upfront structural mismatch (array keyword on a scalar
+             // column) — descriptive and plan-time, never a mid-job
+             // task failure
+        case e: Throwable =>
+          fail(s"seed=${7000 + i} schema=$schema threw ${e.getClass}: " +
+            e.getMessage)
+      }
+    }
+  }
+
   test("fast path and detail path agree on validity") {
     val ds = SequenceGen.generate(spark, 30000L, nSources = 4,
       numPartitions = 8).toDF()
