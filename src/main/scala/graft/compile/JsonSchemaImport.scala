@@ -187,19 +187,22 @@ object JsonSchemaImport {
       // ---- scalar assertions ---------------------------------------
       // JSON Schema compares enum/const numerics by VALUE, not lexeme
       // ("1.0" must match enum member 1, content-typed like typeIs):
-      // numeric members lower to a content-is-number guard AND a point
-      // Bounds — the guard makes non-numeric content a clean non-match
-      // (And short-circuits, so the numeric cast never executes on a
-      // non-numeric string) instead of an ANSI cast task failure.
-      // Non-scalar members cannot be expressed against scalar columns
-      // and must refuse, not silently become asText() === "".
+      // numeric members lower to a content-is-number guard around a
+      // point Bounds — via IfThen (CaseWhen), whose branch-evaluation
+      // order Spark DOES guarantee (a plain And conjunction may be
+      // split/reordered by the optimizer, re-exposing the ANSI
+      // string-cast task failure on non-numeric content). else-false:
+      // non-numeric content is a clean non-match. Non-scalar members
+      // cannot be expressed against scalar columns and must refuse, not
+      // silently become asText() === "".
       def memberEq(v: JsonNode, kw: String): Constraint =
         if (v.isNumber)
-          AllOf(fresh(path, s"${kw}_num"), Seq(
+          IfThen(fresh(path, s"${kw}_num"),
             TypeIs(fresh(path, s"${kw}_isnum"), path, "number"),
             Bounds(fresh(path, s"${kw}_eq"), path,
               Some(BigDecimal(v.decimalValue())),
-              Some(BigDecimal(v.decimalValue())))))
+              Some(BigDecimal(v.decimalValue()))),
+            Some(BoolSchema(fresh(path, s"${kw}_nonnum"), value = false)))
         else if (v.isTextual || v.isBoolean || v.isNull)
           ConstEq(fresh(path, kw), path, v.asText())
         else throw new ImportException(

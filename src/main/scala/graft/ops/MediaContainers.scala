@@ -163,8 +163,11 @@ object MediaContainers {
     val (mi, msz) = moov
     val mvhd = findBox(b, mi + 8, mi + msz, "mvhd").getOrElse(return None)
     val j = mvhd._1
+    // bounds BEFORE any read — a crafted 8-byte mvhd at buffer end must
+    // parse to None, never throw (the tested garbage/truncation contract)
+    if (j + 32 > b.length) return None
     val version = b(j + 8) & 0xff
-    if (version != 0 || j + 8 + 24 > b.length) return None
+    if (version != 0) return None
     val timescale = be32(b, j + 8 + 12)
     val duration = be32(b, j + 8 + 16).toLong & 0xffffffffL
     if (timescale <= 0) return None
@@ -175,10 +178,17 @@ object MediaContainers {
       (ni, nsz) <- findBox(b, di + 8, di + dsz, "minf")
       (si, ssz) <- findBox(b, ni + 8, ni + nsz, "stbl")
       (zi, zsz) <- findBox(b, si + 8, si + ssz, "stsz")
-      // stsz v0: ver+flags(4), sample_size(4), sample_count(4), sizes
+      // stsz v0: ver+flags(4), sample_size(4), sample_count(4), sizes.
+      // Guard order matters: the header must fit before reading n, n
+      // must be non-negative and fit before reading sizes, and every
+      // size must be non-negative (a crafted negative size would
+      // otherwise drive sampleFrames to a negative offset).
+      if zsz >= 20 && be32(b, zi + 12) == 0
       n = be32(b, zi + 16)
-      if be32(b, zi + 12) == 0 && n >= 0 && zsz >= 20 + 4L * n
-    } yield (0 until n).map(k => be32(b, zi + 20 + 4 * k))
+      if n >= 0 && zsz >= 20 + 4L * n
+      sizes = (0 until n).map(k => be32(b, zi + 20 + 4 * k))
+      if sizes.forall(_ >= 0)
+    } yield sizes
     val mdatOff = findBox(b, 0, b.length, "mdat").map(_._1 + 8)
     Some(Mp4Info(timescale, duration * 1000L / timescale,
       frames.getOrElse(Nil),
@@ -194,11 +204,13 @@ object MediaContainers {
       stride: Int): Seq[(Int, Int, Int, Int)] = {
     if (info.mdatOffset < 0 || info.frameSizes.isEmpty || stride < 1)
       return Nil
-    val offs = info.frameSizes.scanLeft(info.mdatOffset)(_ + _)
+    // Long cumulative offsets: a crafted size table must not wrap Int
+    // and index negatively — out-of-range frames are skipped, not thrown
+    val offs = info.frameSizes.scanLeft(info.mdatOffset.toLong)(_ + _)
     info.frameSizes.indices.collect {
-      case i if i % stride == 0 &&
-          offs(i) + info.frameSizes(i) <= b.length =>
-        (i, offs(i), info.frameSizes(i), b(offs(i)) & 0xff)
+      case i if i % stride == 0 && info.frameSizes(i) >= 0 &&
+          offs(i) >= 0 && offs(i) + info.frameSizes(i) <= b.length =>
+        (i, offs(i).toInt, info.frameSizes(i), b(offs(i).toInt) & 0xff)
     }
   }
 

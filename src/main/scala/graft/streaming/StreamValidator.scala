@@ -166,23 +166,29 @@ object StreamValidator {
     require(hi > lo && buckets > 0, "need hi > lo and buckets > 0")
     val refSum = reference.sum
     require(refSum > 0, "reference histogram is empty")
-    val eps = 1e-9
     val v = F.col(col).cast("double")
     // clamp into [0, buckets-1] so out-of-range values land in the edge
-    // bins rather than being dropped (mirrors the batch DriftCheck)
-    val bucket = F.least(F.lit(buckets - 1), F.greatest(F.lit(0),
-      F.floor((v - F.lit(lo)) / F.lit((hi - lo) / buckets)).cast("int")))
+    // bins rather than being dropped — clamp the BIGINT directly, no int
+    // cast (an extreme value would overflow it under ANSI and kill the
+    // query; exactly the batch DriftCheck's shape, DatasetChecks)
+    val bucket = F.least(F.lit((buckets - 1).toLong), F.greatest(F.lit(0L),
+      F.floor((v - F.lit(lo)) / F.lit((hi - lo) / buckets))))
     val counts = (0 until buckets).map(i =>
-      F.sum(F.when(bucket === i, 1L).otherwise(0L)).as(s"_b$i"))
+      F.sum(F.when(bucket === i.toLong, 1L).otherwise(0L)).as(s"_b$i"))
     val agg = stream
       .filter(v.isNotNull)
       .withWatermark(timeCol, watermarkDelay)
       .groupBy(F.window(F.col(timeCol), windowDuration))
       .agg(F.count(F.lit(1)).as("n_rows"), counts: _*)
+    // the SAME epsilon-smoothed normalization as the batch DriftMath
+    // (count + 1e-6) / (total + 1e-6·buckets) — identical histograms
+    // must yield identical PSI on the batch and streaming paths
+    val eps = 1e-6
     val n = F.col("n_rows").cast("double")
     val psi = (0 until buckets).map { i =>
-      val p = F.col(s"_b$i").cast("double") / n + F.lit(eps)
-      val q = F.lit(reference(i) / refSum + eps)
+      val p = (F.col(s"_b$i").cast("double") + eps) /
+        (n + eps * buckets)
+      val q = F.lit((reference(i) + eps) / (refSum + eps * buckets))
       (p - q) * F.log(p / q)
     }.reduce(_ + _)
     agg.select(

@@ -478,6 +478,27 @@ class OpsSpec extends SparkSpec {
     wav(40) = 0x7f.toByte // data len claims 0x7f...  > remaining bytes
     wav(43) = 0x7f.toByte
     assert(MediaContainers.parseWav(wav).isEmpty)
+
+    // crafted MP4 sample tables must degrade, never throw:
+    // (a) a NEGATIVE stsz entry is rejected — frames drop, header stays
+    val neg = MediaContainers.buildMp4(1000, 1000, Seq(10, 20, 15))
+    // frameSizes[1] sits at stsz payload offset: moov starts at 16,
+    // mvhd 108, trak/mdia/minf/stbl headers 32, stsz header 20 → find
+    // it structurally instead of hardcoding: flip the sign bit of the
+    // second size entry
+    val szOff = neg.length - (10 + 20 + 15) - 8 /*mdat hdr*/ - 8
+    neg(szOff) = 0x80.toByte // second size -> negative
+    val negInfo = MediaContainers.parseMp4(neg)
+    assert(negInfo.exists(_.frameSizes.isEmpty), negInfo)
+    // (b) sampleFrames with a hand-corrupted info never indexes out
+    val good = MediaContainers.buildMp4(1000, 1000, Seq(10, 20, 15))
+    val gi = MediaContainers.parseMp4(good).get
+    val corrupt = gi.copy(frameSizes = Seq(16, -1000000, 16))
+    assert(MediaContainers.sampleFrames(good, corrupt, 1)
+      .forall { case (_, off, sz, _) => off >= 0 && off + sz <= good.length })
+    // (c) a truncated stsz (box size 8) parses to header-only info
+    val tiny = MediaContainers.buildMp4(1000)
+    assert(MediaContainers.parseMp4(tiny).exists(_.frameSizes.isEmpty))
   }
 
   test("multimodal: stub decode plumbing preserves schema and batches") {
