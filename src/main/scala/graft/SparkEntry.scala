@@ -437,6 +437,33 @@ object SparkEntry {
           F.round(F.col("frame_mean"), 6).as("frame_mean"),
           F.col("byte_len"))
         .orderBy("doc_id")
+    }),
+    "m_resize" -> ((s, dir) => {
+      // REAL pixel resize: raw-bitmap (PPM P6) images built with
+      // doc-derived pixel formulas, round-tripped through the parser,
+      // nearest-neighbor-resized to 4×4, then feature-extracted
+      // (per-channel means). The oracle replays the source-coordinate
+      // mapping sx = x·srcW/4, sy = y·srcH/4 and the pixel formulas in
+      // SQL — any resampling disagreement breaks the hash.
+      import s.implicits._
+      import graft.ops.RawImage
+      docs(s, dir).filter(F.col("doc_id") < 150)
+        .select(F.col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (8 + id % 8).toInt
+          val h = (8 + (id * 3) % 8).toInt
+          val src = RawImage.buildPpm(w, h, (x, y) =>
+            (((id + x) % 256).toInt, ((id * 3 + y) % 256).toInt,
+              (x + y) % 256))
+          val parsed = RawImage.parsePpm(src).get
+          val small = RawImage.resizeNearest(parsed, 4, 4)
+          val (mr, mg, mb) = RawImage.meanRgb(small)
+          (id.toString, small.width, small.height,
+            math.rint(mr * 1e6) / 1e6, math.rint(mg * 1e6) / 1e6,
+            math.rint(mb * 1e6) / 1e6)
+        }
+        .toDF("doc_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
+        .orderBy("doc_id")
     }))
 
   // --------------------------------------------------------------------
@@ -449,6 +476,21 @@ object SparkEntry {
       "(lang IN ('en','de','fr','es')) AND (n_chars = length(text))"
 
   def oracleSql: Map[String, String] = Map(
+    "m_resize" ->
+      """WITH px AS (SELECT x, y FROM range(0, 4) a(x), range(0, 4) b(y))
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  CAST(4 AS INTEGER) AS out_w, CAST(4 AS INTEGER) AS out_h,
+        |  ROUND((SELECT AVG(CAST(
+        |      (doc_id + (x * (8 + doc_id % 8)) // 4) % 256 AS DOUBLE))
+        |    FROM px), 6) AS mean_r,
+        |  ROUND((SELECT AVG(CAST(
+        |      (doc_id * 3 + (y * (8 + (doc_id * 3) % 8)) // 4) % 256
+        |      AS DOUBLE)) FROM px), 6) AS mean_g,
+        |  ROUND((SELECT AVG(CAST(
+        |      ((x * (8 + doc_id % 8)) // 4
+        |       + (y * (8 + (doc_id * 3) % 8)) // 4) % 256 AS DOUBLE))
+        |    FROM px), 6) AS mean_b
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
     "v_import" ->
       """SELECT * FROM (
         |  SELECT CAST(l_orderkey AS VARCHAR) || '-' ||

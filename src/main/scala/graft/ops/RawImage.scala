@@ -1,0 +1,106 @@
+package graft.ops
+
+/**
+ * Raw-bitmap image ops over PPM (P6, maxval 255) — the one public image
+ * format whose PIXELS are plain bytes, so decode / resize /
+ * feature-extract are REAL pixel math with no codec library: the
+ * training-pipeline "resize" operation the compressed formats
+ * (PNG/JPEG, [[ImageHeaders]]) keep behind the codec boundary.
+ *
+ * All parsers follow the malformed-input contract: None on garbage or
+ * truncation, never an exception.
+ */
+object RawImage {
+
+  final case class Ppm(width: Int, height: Int, pixels: Array[Byte]) {
+    /** (r, g, b) of pixel (x, y), each 0..255. */
+    def pixel(x: Int, y: Int): (Int, Int, Int) = {
+      val i = 3 * (y * width + x)
+      ((pixels(i) & 0xff), (pixels(i + 1) & 0xff), (pixels(i + 2) & 0xff))
+    }
+  }
+
+  /** Binary PPM: `P6\n<w> <h>\n255\n` + w·h RGB triplets. */
+  def buildPpm(w: Int, h: Int,
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0, "PPM dimensions must be positive")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixel(x, y)
+        out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = b.toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def parsePpm(b: Array[Byte]): Option[Ppm] = {
+    // header: magic, two dims, maxval — whitespace-separated ASCII
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var i = 2
+    def token(): Option[Int] = {
+      while (i < b.length &&
+        (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
+      val start = i
+      var v = 0L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9' && v <= Int.MaxValue) {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      if (i == start || v > Int.MaxValue) None else Some(v.toInt)
+    }
+    val parsed = for {
+      w <- token(); h <- token(); maxv <- token()
+      if w > 0 && h > 0 && maxv == 255 && i < b.length
+    } yield (w, h)
+    parsed.flatMap { case (w, h) =>
+      i += 1 // the single whitespace byte after maxval
+      val need = 3L * w * h
+      if (need > b.length - i) None
+      else Some(Ppm(w, h, java.util.Arrays.copyOfRange(b, i, i + need.toInt)))
+    }
+  }
+
+  /** Nearest-neighbor resize — real pixel resampling: output pixel
+    * (x, y) takes source pixel (x·srcW / outW, y·srcH / outH). */
+  def resizeNearest(img: Ppm, outW: Int, outH: Int): Ppm = {
+    require(outW > 0 && outH > 0, "resize dimensions must be positive")
+    val out = new Array[Byte](3 * outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * img.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * img.width / outW
+        val si = 3 * (sy * img.width + sx)
+        val di = 3 * (y * outW + x)
+        out(di) = img.pixels(si)
+        out(di + 1) = img.pixels(si + 1)
+        out(di + 2) = img.pixels(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Ppm(outW, outH, out)
+  }
+
+  /** Per-channel mean over all pixels — the feature-extract step. */
+  def meanRgb(img: Ppm): (Double, Double, Double) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < img.pixels.length) {
+      sr += img.pixels(i) & 0xff
+      sg += img.pixels(i + 1) & 0xff
+      sb += img.pixels(i + 2) & 0xff
+      i += 3
+    }
+    val n = (img.width.toLong * img.height).toDouble
+    (sr / n, sg / n, sb / n)
+  }
+}

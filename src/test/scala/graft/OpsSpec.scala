@@ -501,6 +501,36 @@ class OpsSpec extends SparkSpec {
     assert(MediaContainers.parseMp4(tiny).exists(_.frameSizes.isEmpty))
   }
 
+  test("raw image: PPM round-trip, nearest-neighbor resize, features") {
+    import graft.ops.RawImage
+    // gradient: r = x, g = y, b = x+y
+    val img = RawImage.buildPpm(8, 4, (x, y) => (x * 30, y * 60, x + y))
+    val parsed = RawImage.parsePpm(img).get
+    assert(parsed.width == 8 && parsed.height == 4)
+    assert(parsed.pixel(3, 2) == (90, 120, 5))
+
+    // 2x downsample: output (x,y) takes source (2x, 2y)
+    val half = RawImage.resizeNearest(parsed, 4, 2)
+    assert(half.pixel(1, 1) == parsed.pixel(2, 2))
+    assert(half.pixel(3, 0) == parsed.pixel(6, 0))
+    // upsample replicates pixels
+    val big = RawImage.resizeNearest(parsed, 16, 8)
+    assert(big.pixel(5, 3) == parsed.pixel(5 * 8 / 16, 3 * 4 / 8))
+
+    // feature extract: exact means of the gradient
+    val (mr, mg, mb) = RawImage.meanRgb(parsed)
+    assert(mr == (0 until 8).map(_ * 30).sum / 8.0)
+    assert(mg == (0 until 4).map(_ * 60).sum / 4.0)
+    assert(mb == 3.5 + 1.5)
+
+    // malformed inputs: None, never throw
+    assert(RawImage.parsePpm(Array[Byte]('P', '5')).isEmpty)
+    assert(RawImage.parsePpm("P6\n8 4\n255\n".getBytes).isEmpty) // no pixels
+    assert(RawImage.parsePpm(img.take(img.length - 1)).isEmpty)
+    assert(RawImage.parsePpm("P6\n0 4\n255\n".getBytes).isEmpty)
+    assert(RawImage.parsePpm("P6\n8 4\n15\n".getBytes).isEmpty) // maxval
+  }
+
   test("multimodal: stub decode plumbing preserves schema and batches") {
     val media = Multimodal.synthetic(spark, 300L, numPartitions = 4)
     val feats = Multimodal.extractFeatures(media)
