@@ -60,10 +60,20 @@ object RawImage {
       if w > 0 && h > 0 && maxv == 255 && i < b.length
     } yield (w, h)
     parsed.flatMap { case (w, h) =>
-      i += 1 // the single whitespace byte after maxval
-      val need = 3L * w * h
-      if (need > b.length - i) None
-      else Some(Ppm(w, h, java.util.Arrays.copyOfRange(b, i, i + need.toInt)))
+      // the single whitespace terminator after maxval (accept a CRLF
+      // pair as one terminator — consuming only the '\r' would shift
+      // every pixel byte by one, a silently wrong decode)
+      val ws = b(i)
+      if (ws != ' ' && ws != '\n' && ws != '\r' && ws != '\t') None
+      else {
+        i += (if (ws == '\r' && i + 1 < b.length && b(i + 1) == '\n') 2
+              else 1)
+        // compare in Long with no product of two full Int ranges:
+        // w·h ≤ (2^31)^2 fits a Long, 3·(2^31)^2 would not
+        if (w.toLong * h > (b.length - i).toLong / 3) None
+        else Some(Ppm(w, h,
+          java.util.Arrays.copyOfRange(b, i, i + 3 * w * h)))
+      }
     }
   }
 
@@ -74,10 +84,12 @@ object RawImage {
     val out = new Array[Byte](3 * outW * outH)
     var y = 0
     while (y < outH) {
-      val sy = y * img.height / outH
+      // Long products: x·width overflows Int for legitimately parseable
+      // very wide images (3·w·h fits an array at w ≈ 7·10^8)
+      val sy = (y.toLong * img.height / outH).toInt
       var x = 0
       while (x < outW) {
-        val sx = x * img.width / outW
+        val sx = (x.toLong * img.width / outW).toInt
         val si = 3 * (sy * img.width + sx)
         val di = 3 * (y * outW + x)
         out(di) = img.pixels(si)

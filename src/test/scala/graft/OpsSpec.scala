@@ -529,6 +529,17 @@ class OpsSpec extends SparkSpec {
     assert(RawImage.parsePpm(img.take(img.length - 1)).isEmpty)
     assert(RawImage.parsePpm("P6\n0 4\n255\n".getBytes).isEmpty)
     assert(RawImage.parsePpm("P6\n8 4\n15\n".getBytes).isEmpty) // maxval
+    // huge header dims: the 3·w·h byte requirement must not overflow
+    // into a bogus successful parse
+    assert(RawImage.parsePpm(
+      ("P6\n2147483647 2147483647\n255\nXXX").getBytes).isEmpty)
+    // CRLF after maxval decodes as ONE terminator, not a shifted image
+    val crlf = ("P6\n2 1\n255\r\n").getBytes ++ Array[Byte](
+      10, 20, 30, 40, 50, 60)
+    assert(RawImage.parsePpm(crlf).exists(_.pixel(0, 0) == (10, 20, 30)))
+    // non-whitespace terminator refuses
+    assert(RawImage.parsePpm(("P6\n2 1\n255X" + " " * 6).getBytes)
+      .isEmpty)
   }
 
   test("multimodal: stub decode plumbing preserves schema and batches") {
