@@ -82,9 +82,17 @@ object ConstraintCompiler {
       registry: ConstraintRegistry = ConstraintRegistry.empty): CompiledSuite =
     compile(ConstraintJson.parseSuite(json), registry)
 
+  /** Ref-inline + coverage-resolve a suite WITHOUT lowering to Catalyst
+    * — the shared front half of [[compile]], also consumed by the
+    * single-document evaluator ([[graft.exec.DocValidator]]), which
+    * interprets the resolved AST directly. */
+  def resolve(suite: ConstraintSuite,
+      registry: ConstraintRegistry = ConstraintRegistry.empty): ConstraintSuite =
+    resolveUnevaluated(resolveRefs(suite, registry))
+
   def compile(suite: ConstraintSuite,
       registry: ConstraintRegistry = ConstraintRegistry.empty): CompiledSuite = {
-    val resolved = resolveUnevaluated(resolveRefs(suite, registry))
+    val resolved = resolve(suite, registry)
     val (rowCs, dsCs) = resolved.constraints.partition(isRowLocal)
     val rowChecks = rowCs.map(c => CompiledRowCheck(
       c.id, lowerPred(c, None), observedOf(c), expectedOf(c),
@@ -571,48 +579,11 @@ object ConstraintCompiler {
         s"dataset-level constraint '${c.id}' cannot be row-lowered")
   }
 
-  private def formatPred(v: Column, format: String): Column = format match {
-    case "date" =>
-      v.rlike("^\\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])$")
-    case "date-time" =>
-      v.rlike("^\\d{4}-\\d{2}-\\d{2}[Tt ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?" +
-        "([Zz]|[+-]\\d{2}:\\d{2})?$")
-    case "email" =>
-      v.rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
-    case "uuid" =>
-      v.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
-        "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
-    case "uri"  => v.rlike("^[A-Za-z][A-Za-z0-9+.-]*:\\S*$")
-    case "ipv4" =>
-      v.rlike("^((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\.){3}" +
-        "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)$")
-    case "ipv6" => {
-      // full/compressed hex groups incl. "::"; no embedded-IPv4 forms.
-      // Each "::" alternative bounds the group count so left+right can
-      // never exceed 7 groups ("::" stands for >=1 zero group) —
-      // unbounded (h:)* admitted 9+-group addresses.
-      val h = "[0-9A-Fa-f]{1,4}"
-      v.rlike(s"^(($h:){7}$h|($h:){1,7}:|($h:){1,6}:$h|" +
-        s"($h:){1,5}(:$h){1,2}|($h:){1,4}(:$h){1,3}|" +
-        s"($h:){1,3}(:$h){1,4}|($h:){1,2}(:$h){1,5}|" +
-        s"$h:(:$h){1,6}|:((:$h){1,7}|:))$$")
-    }
-    case "hostname" =>
-      v.rlike("^(?=.{1,253}$)([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)" +
-        "(\\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$")
-    case "time" =>
-      v.rlike("^([01]\\d|2[0-3]):[0-5]\\d:([0-5]\\d|60)(\\.\\d+)?" +
-        "([Zz]|[+-]([01]\\d|2[0-3]):[0-5]\\d)$")
-    case "json-pointer" =>
-      // RFC 6901: empty, or /-prefixed tokens; ~ only as ~0 / ~1
-      v.rlike("^(/([^/~]|~[01])*)*$") && !v.rlike("~(?![01])")
-    case "duration" =>
-      // ISO-8601 duration, at least one component after P
-      v.rlike("^P(\\d+Y)?(\\d+M)?(\\d+W)?(\\d+D)?" +
-        "(T(\\d+H)?(\\d+M)?(\\d+(\\.\\d+)?S)?)?$") &&
-        v.rlike("^P.*[YMWDHS]")
-    case other =>
-      throw new CompileException(s"unsupported strict format: $other")
+  private def formatPred(v: Column, format: String): Column = {
+    val spec = FormatSpecs.specs.getOrElse(format,
+      throw new CompileException(s"unsupported strict format: $format"))
+    (spec.must.map(v.rlike) ++ spec.mustNot.map(!v.rlike(_)))
+      .reduce(_ && _)
   }
 
   // ------------------------------------------------------------------
@@ -761,7 +732,7 @@ object ConstraintCompiler {
 
   /** Human-readable `expected` text (plays the reference's error-message
     * role, `blaze_wrapper.cpp:186`). Static per constraint. */
-  private[compile] def expectedOf(c: Constraint): String = c match {
+  private[graft] def expectedOf(c: Constraint): String = c match {
     case NotNull(_, col)    => s"$col not null"
     case IsIn(_, col, vs)   =>
       val shown = if (vs.sizeIs > 8) vs.take(8).mkString(", ") + ", …"

@@ -1,0 +1,270 @@
+package graft.exec
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+import scala.util.matching.Regex
+
+import graft.compile.{ConstraintCompiler, FormatSpecs}
+import graft.dsl.{Constraint, ConstraintSuite}
+import graft.dsl.Constraint._
+import graft.registry.ConstraintRegistry
+
+/**
+ * Single-DOCUMENT validation — the reference's primary API shape
+ * (`BlazeValidator.validate(template, jsonString) → boolean`,
+ * `BlazeWrapper.java`): evaluate a resolved constraint suite directly
+ * over one Jackson tree, no SparkSession, no job — microseconds per
+ * document. The same [[ConstraintSuite]] drives BOTH engines: this
+ * interpreter for per-document hot paths, the Catalyst lowering for
+ * tables; DocValidatorSpec proves verdict parity by replaying both
+ * conformance corpora through each.
+ *
+ * Semantics mirror the Catalyst lowering exactly (content-typed
+ * scalars, pass-on-null applicability, find-semantics regexes, the
+ * compiler's own `expectedOf` strings in violations). Dataset-scope
+ * constraints (unique / referential / drift) need a table and are
+ * rejected loudly; `ExprIs` needs Spark SQL and is rejected likewise.
+ */
+object DocValidator {
+
+  final case class DocViolation(constraintId: String, expected: String)
+
+  /** Compile-once artifact for the document path: resolved AST +
+    * the row-local/top-level split. Immutable and thread-safe. */
+  final case class CompiledDocSuite private[exec] (
+      suiteId: String, checks: Seq[Constraint])
+
+  private val mapper = new ObjectMapper()
+
+  def compile(suite: ConstraintSuite,
+      registry: ConstraintRegistry = ConstraintRegistry.empty): CompiledDocSuite = {
+    val resolved = ConstraintCompiler.resolve(suite, registry)
+    resolved.constraints.foreach(Constraint.walk(_) {
+      case c @ (_: Unique | _: RefIntegrity | _: NoDrift |
+          _: NoArrayDrift) =>
+        throw new IllegalArgumentException(
+          s"constraint '${c.id}' is dataset-scope — single-document " +
+            "validation has no table; use Validator over a DataFrame")
+      case c: ExprIs =>
+        throw new IllegalArgumentException(
+          s"constraint '${c.id}' is a SQL expression — not evaluable " +
+            "without Spark; use Validator over a DataFrame")
+      case _ => ()
+    })
+    CompiledDocSuite(resolved.id, resolved.constraints)
+  }
+
+  /** Fast boolean path. */
+  def validate(suite: CompiledDocSuite, json: String): Boolean =
+    validateNode(suite, parse(json))
+
+  def validateNode(suite: CompiledDocSuite, doc: JsonNode): Boolean =
+    suite.checks.forall(evalPred(_, doc, None))
+
+  /** Detail path: one violation per failing top-level constraint, with
+    * the compiler's own `expected` rendering. */
+  def validateWithDetails(suite: CompiledDocSuite,
+      json: String): Seq[DocViolation] = {
+    val doc = parse(json)
+    suite.checks.collect {
+      case c if !evalPred(c, doc, None) =>
+        DocViolation(c.id, ConstraintCompiler.expectedOf(c))
+    }
+  }
+
+  private def parse(json: String): JsonNode =
+    try mapper.readTree(json)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"invalid JSON document: ${e.getMessage}")
+    }
+
+  // ---- value resolution (mirrors the compiler's `res`) -------------
+
+  /** The node at a column path, None when missing/null — `$` is the
+    * element bound by the nearest array scope, `$.f.g` drills into
+    * record elements. */
+  private def at(doc: JsonNode, col: String,
+      scope: Option[JsonNode]): Option[JsonNode] = {
+    val (base, rest) =
+      if (col == "$") (scope, Nil)
+      else if (col.startsWith("$."))
+        (scope, col.drop(2).split('.').toList)
+      else (Some(doc), col.split('.').toList)
+    rest.foldLeft(base) { (n, f) =>
+      n.map(_.path(f)).filterNot(x => x.isMissingNode || x.isNull)
+    }.filterNot(x => x.isMissingNode || x.isNull)
+  }
+
+  /** Content string — the analogue of `cast("string")` on a typed
+    * column: numbers/booleans render canonically, text verbatim. */
+  private def str(n: JsonNode): String = n.asText()
+
+  private val NumericContent: Regex =
+    "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
+
+  private def numeric(n: JsonNode): Option[BigDecimal] =
+    if (n.isNumber) Some(BigDecimal(n.decimalValue()))
+    else if (n.isTextual && NumericContent.matches(n.asText()))
+      try Some(BigDecimal(n.asText())) catch { case _: Exception => None }
+    else None
+
+  private def find(pattern: String, s: String): Boolean =
+    java.util.regex.Pattern.compile(pattern).matcher(s).find()
+
+  private def elems(n: JsonNode): Option[Seq[JsonNode]] =
+    if (n.isArray) Some(n.elements().asScala.toSeq) else None
+
+  private def fields(n: JsonNode): Option[Seq[(String, JsonNode)]] =
+    if (n.isObject)
+      Some(n.properties().asScala.map(e => e.getKey -> e.getValue).toSeq)
+    else None
+
+  // ---- the evaluator (one case per lowerPred case) -----------------
+
+  /** Pass-on-null applicability, like the lowering's `nullPasses`. */
+  private def withValue(doc: JsonNode, col: String,
+      scope: Option[JsonNode])(f: JsonNode => Boolean): Boolean =
+    at(doc, col, scope).forall(f)
+
+  private[exec] def evalPred(c: Constraint, doc: JsonNode,
+      scope: Option[JsonNode]): Boolean = c match {
+    case NotNull(_, col) => at(doc, col, scope).isDefined
+
+    case IsIn(_, col, values) =>
+      withValue(doc, col, scope)(v => values.contains(str(v)))
+    case ConstEq(_, col, value) =>
+      withValue(doc, col, scope)(v => str(v) == value)
+
+    case Bounds(_, col, mn, mx, emn, emx) =>
+      withValue(doc, col, scope)(v => numeric(v).exists { d =>
+        mn.forall(b => if (emn) d > b else d >= b) &&
+          mx.forall(b => if (emx) d < b else d <= b)
+      })
+    case MultipleOf(_, col, k) =>
+      // java.math remainder: exact, no MathContext — scala's wrapper
+      // carries DECIMAL128 and throws "Division impossible" on huge
+      // quotients (the 1e308 suite case)
+      withValue(doc, col, scope)(v => numeric(v).exists(d =>
+        d.bigDecimal.remainder(k.bigDecimal).signum() == 0))
+
+    case LengthBounds(_, col, mn, mx) =>
+      withValue(doc, col, scope) { v =>
+        // CODE POINTS, matching Spark's length() — String.length counts
+        // UTF-16 units and disagrees on supplementary characters
+        val s = str(v)
+        val len = s.codePointCount(0, s.length)
+        mn.forall(len >= _) && mx.forall(len <= _)
+      }
+    case Matches(_, col, pattern) =>
+      withValue(doc, col, scope)(v => find(pattern, str(v)))
+    case FormatIs(_, col, format, strict) =>
+      if (!strict) true // annotation-only, like the lowering
+      else withValue(doc, col, scope) { v =>
+        val spec = FormatSpecs.specs.getOrElse(format,
+          throw new IllegalArgumentException(
+            s"unsupported strict format: $format"))
+        spec.must.forall(find(_, str(v))) &&
+          spec.mustNot.forall(!find(_, str(v)))
+      }
+
+    case SizeBounds(_, col, mn, mx) =>
+      withValue(doc, col, scope)(v => elems(v).forall { xs =>
+        mn.forall(xs.size >= _) && mx.forall(xs.size <= _)
+      })
+    case UniqueItems(_, col) =>
+      withValue(doc, col, scope)(v =>
+        elems(v).forall(xs => xs.distinct.size == xs.size))
+    case EachElement(_, col, elem) =>
+      withValue(doc, col, scope)(v => elems(v).forall(
+        _.forall(x => evalPred(elem, doc, Some(x)))))
+    case EachElementFrom(_, col, start, elem) =>
+      withValue(doc, col, scope)(v => elems(v).forall(
+        _.drop(start).forall(x => evalPred(elem, doc, Some(x)))))
+    case PrefixItems(_, col, es) =>
+      withValue(doc, col, scope)(v => elems(v).forall(xs =>
+        es.zipWithIndex.forall { case (e, i) =>
+          i >= xs.size || evalPred(e, doc, Some(xs(i)))
+        }))
+    case ContainsCount(_, col, elem, mn, mx) =>
+      withValue(doc, col, scope)(v => elems(v).forall { xs =>
+        val n = xs.count(x => evalPred(elem, doc, Some(x)))
+        n >= mn && mx.forall(n <= _)
+      })
+    case UnevaluatedItems(_, _, _) =>
+      throw new IllegalStateException(
+        "unevaluatedItems survived the coverage pass — compile via " +
+          "DocValidator.compile")
+
+    case KeysIn(_, col, allowed) =>
+      withValue(doc, col, scope)(v => fields(v).forall(
+        _.forall { case (k, _) => allowed.contains(k) }))
+    case KeyCountBounds(_, col, mn, mx) =>
+      withValue(doc, col, scope)(v => fields(v).forall { fs =>
+        mn.forall(fs.size >= _) && mx.forall(fs.size <= _)
+      })
+    case EachKey(_, col, elem) =>
+      withValue(doc, col, scope)(v => fields(v).forall(
+        _.forall { case (k, _) =>
+          evalPred(elem, doc,
+            Some(com.fasterxml.jackson.databind.node.TextNode.valueOf(k)))
+        }))
+    case PropertyValues(_, col, key, elem) =>
+      withValue(doc, col, scope)(v => fields(v).forall(fs =>
+        fs.collectFirst { case (k, x) if k == key => x }
+          .forall(x => evalPred(elem, doc, Some(x)))))
+    case PatternValues(_, col, keyPattern, elem) =>
+      withValue(doc, col, scope)(v => fields(v).forall(
+        _.forall { case (k, x) =>
+          !find(keyPattern, k) || evalPred(elem, doc, Some(x))
+        }))
+    case UnevaluatedProperties(_, col, elem, ks, ps) =>
+      withValue(doc, col, scope)(v => fields(v).forall(
+        _.forall { case (k, x) =>
+          val covered = ks.contains(k) || ps.exists(find(_, k))
+          covered || evalPred(elem, doc, Some(x))
+        }))
+
+    case TypeIs(_, col, tpe) =>
+      withValue(doc, col, scope) { v =>
+        val s = str(v)
+        val isNum = NumericContent.matches(s)
+        tpe match {
+          case "integer" => isNum &&
+            BigDecimal(s).bigDecimal
+              .remainder(java.math.BigDecimal.ONE).signum() == 0
+          case "number"  => isNum
+          case "boolean" =>
+            val l = s.toLowerCase; l == "true" || l == "false"
+          case "string"  => true
+          case other => throw new IllegalArgumentException(
+            s"unsupported typeIs: $other")
+        }
+      }
+    case SizeConsistency(_, intCol, arrCol) =>
+      (at(doc, intCol, scope), at(doc, arrCol, scope)) match {
+        case (Some(i), Some(a)) =>
+          numeric(i).exists(d => elems(a).exists(xs =>
+            d.compareTo(BigDecimal(xs.size)) == 0))
+        case _ => true // null-tolerant, like the lowering
+      }
+
+    case AllOf(_, cs)  => cs.forall(evalPred(_, doc, scope))
+    case AnyOf(_, cs)  => cs.exists(evalPred(_, doc, scope))
+    case OneOf(_, cs)  => cs.count(evalPred(_, doc, scope)) == 1
+    case Not(_, c0)    => !evalPred(c0, doc, scope)
+    case IfThen(_, i, t, e) =>
+      if (evalPred(i, doc, scope)) evalPred(t, doc, scope)
+      else e.forall(evalPred(_, doc, scope))
+    case BoolSchema(_, v) => v
+
+    case _: Ref | _: DynamicRef | _: Defs =>
+      throw new IllegalStateException(
+        "unresolved ref survived resolution — compile via " +
+          "DocValidator.compile")
+    case c @ (_: Unique | _: RefIntegrity | _: NoDrift |
+        _: NoArrayDrift | _: ExprIs) =>
+      throw new IllegalArgumentException(
+        s"'${c.id}' is not evaluable on a single document")
+  }
+}
