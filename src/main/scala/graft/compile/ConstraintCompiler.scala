@@ -531,15 +531,18 @@ object ConstraintCompiler {
     case TypeIs(_, col, tpe) =>
       val v = res(col, scope)
       val s = v.cast("string")
-      val numeric = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
-      val isNum = s.rlike(numeric)
+      val isNum = s.rlike(FormatSpecs.numericContent)
       val raw = tpe match {
         // integer ⊂ number: integer-valued floats count as integer
-        // (suite type.json semantics); cast guarded by the regex so ANSI
-        // never throws
+        // (suite type.json semantics); regex guards the numeric cast
+        // and try_cast guards its MAGNITUDE — "1e30" passes the regex
+        // but overflows decimal(38,10), which under ANSI would be a
+        // task failure, not a verdict. Beyond-range integers report
+        // false (documented; DocValidator mirrors the bound).
         case "integer" =>
-          F.when(isNum,
-            F.pmod(s.cast("decimal(38,10)"), F.lit(1)) === F.lit(0))
+          F.when(isNum, F.coalesce(
+            F.pmod(s.try_cast("decimal(38,10)"), F.lit(1)) === F.lit(0),
+            F.lit(false)))
             .otherwise(F.lit(false))
         case "number"  => isNum
         case "boolean" => F.lower(s).isin("true", "false")

@@ -11,6 +11,11 @@ package graft.compile
 private[graft] object FormatSpecs {
   final case class Spec(must: Seq[String], mustNot: Seq[String] = Nil)
 
+  /** Numeric-CONTENT shape shared by both engines' `typeIs`/guard
+    * logic — one definition so the content-typing rule cannot drift. */
+  val numericContent: String =
+    "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+
   private val h = "[0-9A-Fa-f]{1,4}"
 
   val specs: Map[String, Spec] = Map(

@@ -49,6 +49,12 @@ object DocValidator {
         throw new IllegalArgumentException(
           s"constraint '${c.id}' is a SQL expression — not evaluable " +
             "without Spark; use Validator over a DataFrame")
+      // unknown formats refuse at COMPILE, like the Catalyst path —
+      // not per-document at validate time (and only when present)
+      case FormatIs(id, _, format, true)
+          if !FormatSpecs.specs.contains(format) =>
+        throw new IllegalArgumentException(
+          s"constraint '$id': unsupported strict format: $format")
       case _ => ()
     })
     CompiledDocSuite(resolved.id, resolved.constraints)
@@ -72,12 +78,20 @@ object DocValidator {
     }
   }
 
-  private def parse(json: String): JsonNode =
-    try mapper.readTree(json)
-    catch {
-      case e: Exception => throw new IllegalArgumentException(
-        s"invalid JSON document: ${e.getMessage}")
-    }
+  private def parse(json: String): JsonNode = {
+    val n =
+      try mapper.readTree(json)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"invalid JSON document: ${e.getMessage}")
+      }
+    // readTree of empty/blank input returns MissingNode WITHOUT
+    // throwing — that is not a document either
+    if (n == null || n.isMissingNode)
+      throw new IllegalArgumentException(
+        "invalid JSON document: empty input")
+    n
+  }
 
   // ---- value resolution (mirrors the compiler's `res`) -------------
 
@@ -87,21 +101,29 @@ object DocValidator {
   private def at(doc: JsonNode, col: String,
       scope: Option[JsonNode]): Option[JsonNode] = {
     val (base, rest) =
-      if (col == "$") (scope, Nil)
+      if (col == "$") (scopeOrThrow(scope), Nil)
       else if (col.startsWith("$."))
-        (scope, col.drop(2).split('.').toList)
+        (scopeOrThrow(scope), col.drop(2).split('.').toList)
       else (Some(doc), col.split('.').toList)
     rest.foldLeft(base) { (n, f) =>
       n.map(_.path(f)).filterNot(x => x.isMissingNode || x.isNull)
     }.filterNot(x => x.isMissingNode || x.isNull)
   }
 
-  /** Content string — the analogue of `cast("string")` on a typed
-    * column: numbers/booleans render canonically, text verbatim. */
-  private def str(n: JsonNode): String = n.asText()
+  private def scopeOrThrow(scope: Option[JsonNode]): Option[JsonNode] =
+    Some(scope.getOrElse(throw new IllegalArgumentException(
+      "'$' used outside an array-element scope"))) // same as the compiler
 
-  private val NumericContent: Regex =
-    "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
+  /** Content string — the analogue of `cast("string")` on a typed
+    * column: numbers/booleans render canonically, text verbatim.
+    * Container values have NO scalar content (Jackson's asText would be
+    * "") — a scalar check against an object/array value fails rather
+    * than silently comparing empty strings; the table engine refuses
+    * such a suite at analysis time, so there is no parity to preserve. */
+  private def str(n: JsonNode): Option[String] =
+    if (n.isValueNode) Some(n.asText()) else None
+
+  private val NumericContent: Regex = FormatSpecs.numericContent.r
 
   private def numeric(n: JsonNode): Option[BigDecimal] =
     if (n.isNumber) Some(BigDecimal(n.decimalValue()))
@@ -109,8 +131,13 @@ object DocValidator {
       try Some(BigDecimal(n.asText())) catch { case _: Exception => None }
     else None
 
+  // compiled-pattern cache: Pattern.compile per evaluation would
+  // dominate the microseconds-per-doc budget on regex-bearing suites
+  private val patterns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
   private def find(pattern: String, s: String): Boolean =
-    java.util.regex.Pattern.compile(pattern).matcher(s).find()
+    patterns.computeIfAbsent(pattern, java.util.regex.Pattern.compile)
+      .matcher(s).find()
 
   private def elems(n: JsonNode): Option[Seq[JsonNode]] =
     if (n.isArray) Some(n.elements().asScala.toSeq) else None
@@ -132,9 +159,9 @@ object DocValidator {
     case NotNull(_, col) => at(doc, col, scope).isDefined
 
     case IsIn(_, col, values) =>
-      withValue(doc, col, scope)(v => values.contains(str(v)))
+      withValue(doc, col, scope)(v => str(v).exists(values.contains))
     case ConstEq(_, col, value) =>
-      withValue(doc, col, scope)(v => str(v) == value)
+      withValue(doc, col, scope)(v => str(v).contains(value))
 
     case Bounds(_, col, mn, mx, emn, emx) =>
       withValue(doc, col, scope)(v => numeric(v).exists { d =>
@@ -149,32 +176,37 @@ object DocValidator {
         d.bigDecimal.remainder(k.bigDecimal).signum() == 0))
 
     case LengthBounds(_, col, mn, mx) =>
-      withValue(doc, col, scope) { v =>
+      withValue(doc, col, scope)(v => str(v).exists { s =>
         // CODE POINTS, matching Spark's length() — String.length counts
         // UTF-16 units and disagrees on supplementary characters
-        val s = str(v)
         val len = s.codePointCount(0, s.length)
         mn.forall(len >= _) && mx.forall(len <= _)
-      }
+      })
     case Matches(_, col, pattern) =>
-      withValue(doc, col, scope)(v => find(pattern, str(v)))
+      withValue(doc, col, scope)(v => str(v).exists(find(pattern, _)))
     case FormatIs(_, col, format, strict) =>
       if (!strict) true // annotation-only, like the lowering
-      else withValue(doc, col, scope) { v =>
+      else withValue(doc, col, scope)(v => str(v).exists { s =>
         val spec = FormatSpecs.specs.getOrElse(format,
           throw new IllegalArgumentException(
             s"unsupported strict format: $format"))
-        spec.must.forall(find(_, str(v))) &&
-          spec.mustNot.forall(!find(_, str(v)))
-      }
+        spec.must.forall(find(_, s)) && spec.mustNot.forall(!find(_, s))
+      })
 
     case SizeBounds(_, col, mn, mx) =>
       withValue(doc, col, scope)(v => elems(v).forall { xs =>
         mn.forall(xs.size >= _) && mx.forall(xs.size <= _)
       })
     case UniqueItems(_, col) =>
-      withValue(doc, col, scope)(v =>
-        elems(v).forall(xs => xs.distinct.size == xs.size))
+      // numerically equal values of different JSON node types (1 vs
+      // 1.0) are the SAME element — a typed array column would have
+      // coerced them (and the official suite's uniqueItems cases agree)
+      withValue(doc, col, scope)(v => elems(v).forall { xs =>
+        val keys = xs.map(x => numeric(x)
+          .map(d => "n:" + d.bigDecimal.stripTrailingZeros.toPlainString)
+          .getOrElse("v:" + x.toString))
+        keys.distinct.size == keys.size
+      })
     case EachElement(_, col, elem) =>
       withValue(doc, col, scope)(v => elems(v).forall(
         _.forall(x => evalPred(elem, doc, Some(x)))))
@@ -226,13 +258,18 @@ object DocValidator {
         }))
 
     case TypeIs(_, col, tpe) =>
-      withValue(doc, col, scope) { v =>
-        val s = str(v)
+      withValue(doc, col, scope)(v => str(v).exists { s =>
         val isNum = NumericContent.matches(s)
         tpe match {
-          case "integer" => isNum &&
-            BigDecimal(s).bigDecimal
-              .remainder(java.math.BigDecimal.ONE).signum() == 0
+          // magnitude bound mirrors the lowering's decimal(38,10)
+          // try_cast: beyond-range integer-valued numbers report false
+          // on BOTH engines
+          case "integer" => isNum && {
+            val d = BigDecimal(s)
+            d.abs < BigDecimal("1e28") &&
+              d.bigDecimal.remainder(java.math.BigDecimal.ONE)
+                .signum() == 0
+          }
           case "number"  => isNum
           case "boolean" =>
             val l = s.toLowerCase; l == "true" || l == "false"
@@ -240,7 +277,7 @@ object DocValidator {
           case other => throw new IllegalArgumentException(
             s"unsupported typeIs: $other")
         }
-      }
+      })
     case SizeConsistency(_, intCol, arrCol) =>
       (at(doc, intCol, scope), at(doc, arrCol, scope)) match {
         case (Some(i), Some(a)) =>

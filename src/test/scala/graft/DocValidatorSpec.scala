@@ -117,6 +117,40 @@ class DocValidatorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("invalid JSON"))
   }
 
+  test("doc-engine edge semantics: mixed numerics, containers, errors") {
+    // numerically equal values of different JSON literal forms are
+    // duplicates (the official suite's '[1.0, 1] is not unique')
+    val uniq = DocValidator.compile(ConstraintSuite("u", Seq(
+      UniqueItems("uq", "xs"))))
+    assert(!DocValidator.validate(uniq, """{"xs":[1, 1.0]}"""))
+    assert(DocValidator.validate(uniq, """{"xs":[1, 1.5]}"""))
+
+    // a scalar check against a container value fails, never compares ""
+    val const = DocValidator.compile(ConstraintSuite("c", Seq(
+      ConstEq("eq", "meta", ""))))
+    assert(!DocValidator.validate(const, """{"meta":{"a":1}}"""))
+
+    // empty input is not a document
+    val any = DocValidator.compile(ConstraintSuite("a", Seq(
+      NotNull("n", "x"))))
+    assert(intercept[IllegalArgumentException] {
+      DocValidator.validate(any, "")
+    }.getMessage.contains("empty"))
+
+    // '$' outside an element scope errors like the compiler
+    val badScope = DocValidator.compile(ConstraintSuite("s", Seq(
+      Bounds("b", "$", Some(0), None))))
+    assert(intercept[IllegalArgumentException] {
+      DocValidator.validate(badScope, """{"x":1}""")
+    }.getMessage.contains("array-element scope"))
+
+    // unknown strict format refuses at COMPILE
+    assert(intercept[IllegalArgumentException] {
+      DocValidator.compile(ConstraintSuite("f", Seq(
+        FormatIs("ff", "x", "idn-email", strict = true))))
+    }.getMessage.contains("idn-email"))
+  }
+
   test("throughput sanity: per-document latency is microseconds") {
     val suite = DocValidator.compile(ConstraintSuite("hot", Seq(
       NotNull("id_req", "doc_id"),
