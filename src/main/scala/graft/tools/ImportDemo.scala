@@ -57,6 +57,17 @@ object ImportDemo {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"validated $nRows rows against the IMPORTED schema " +
       f"in $sec%.1f s (${nRows / sec}%.0f seq/s, detail mode)")
+
+    // the SAME suite drives the single-document engine (the reference's
+    // validate(template, json) shape) — no Spark job, microseconds/doc
+    val docSuite = graft.exec.DocValidator.compile(imported)
+    val good = """{"doc_id":"seq-0000000001","n_tok":2,"tokens":[1,2]}"""
+    val bad = """{"doc_id":"nope","n_tok":2,"tokens":[1,99999]}"""
+    println(s"doc engine: good=${
+      graft.exec.DocValidator.validate(docSuite, good)} bad=${
+      graft.exec.DocValidator.validate(docSuite, bad)} (violations: ${
+      graft.exec.DocValidator.validateWithDetails(docSuite, bad)
+        .map(_.constraintId).mkString(", ")})")
     spark.stop()
   }
 }
