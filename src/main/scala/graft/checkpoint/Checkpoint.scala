@@ -113,9 +113,19 @@ object PartitionedRunner {
     val verdictRows = report.verdicts.collect()
     val entries = verdictRows.map { r =>
       // multi-column partition specs render as col1=v1/col2=v2 — the same
-      // form TableProvider.partitions() emits
-      val pname = table.partitionCols
-        .map(c => s"$c=${r.getAs[Any](c)}").mkString("/")
+      // form TableProvider.partitions() emits. The verdict carries
+      // DECODED values while directory names are Hive-ESCAPED
+      // ('us west' ↔ 'us%20west', null ↔ __HIVE_DEFAULT_PARTITION__),
+      // so re-escape before snapshot lookup or special-char partitions
+      // would miss the checkpoint forever (or crash listStatus).
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val pname = table.partitionCols.map { c =>
+        val v = r.getAs[Any](c)
+        val enc =
+          if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          else ExternalCatalogUtils.escapePathName(v.toString)
+        s"$c=$enc"
+      }.mkString("/")
       CheckpointEntry(
         partition = pname,
         snapshot_id = table.snapshotId(pname),
@@ -125,7 +135,14 @@ object PartitionedRunner {
         n_bad_rows = r.getAs[Long]("n_bad_rows"),
         run_id = runId)
     }
-    checkpoint.append(entries.toSeq)
+    // A pending partition whose scan produced ZERO rows emits no verdict
+    // row — checkpoint it as vacuously valid (n_rows = 0) or it would be
+    // re-queued and re-scanned on every run forever.
+    val seen = entries.map(_.partition).toSet
+    val empties = pending.filterNot(seen).map(p => CheckpointEntry(
+      p, table.snapshotId(p), suite.constraintHash,
+      valid = true, n_rows = 0L, n_bad_rows = 0L, run_id = runId))
+    checkpoint.append(entries.toSeq ++ empties)
     RunResult(runId, pending, skipped, report.verdicts, report.violations)
   }
 }

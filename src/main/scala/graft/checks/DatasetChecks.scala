@@ -33,6 +33,14 @@ trait DatasetCheck extends Serializable {
       idCol: String,
       partitionCols: Seq[String],
       dims: Map[String, DataFrame]): Option[DataFrame] = None
+
+  /** Whether the check must see the WHOLE table on a partial/resumed
+    * run (uniqueness: duplicates span runs; drift: the baseline is the
+    * global distribution). Checks whose facts are row-local against an
+    * external dimension (referential integrity) evaluate over just the
+    * pending scan — re-running them over the whole table would re-emit
+    * already-validated partitions' violations on every resumed run. */
+  def needsGlobalScope: Boolean = true
 }
 
 object DatasetCheck {
@@ -118,6 +126,9 @@ final case class RefIntegrityCheck(
     id: String, col: String, dimName: String, dimCol: String,
     expected: String)
     extends DatasetCheck {
+  // dangling keys are facts about individual rows vs an EXTERNAL
+  // dimension — nothing cross-partition; pending-scan scope suffices
+  override def needsGlobalScope: Boolean = false
   private def dangling(df: DataFrame, idCol: String,
       partitionCols: Seq[String], dims: Map[String, DataFrame]): DataFrame = {
     val dim = dims.getOrElse(dimName, throw new IllegalArgumentException(
@@ -162,6 +173,10 @@ final case class DriftCheck(
     minRows: Long = 100L)
     extends DatasetCheck {
   require(metric == "psi" || metric == "kl", s"unknown drift metric $metric")
+  // a degenerate grid would silently report "no drift ever" (empty
+  // bucket explode) instead of failing fast like every other misconfig
+  require(buckets >= 1, s"drift check '$id': buckets must be >= 1")
+  require(hi > lo, s"drift check '$id': need hi > lo")
 
   private def partKeyCol(partitionCols: Seq[String]): org.apache.spark.sql.Column =
     F.concat_ws("/", partitionCols.map(p =>
@@ -340,28 +355,37 @@ private[checks] object DriftMath {
  * this is the `ValidationResult` metrics block generalized to a table.
  */
 object ColumnStats {
-  def profile(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
-    val aggs: Seq[Column] = F.count(F.lit(1)).as("n_rows") +:
-      df.schema.fields.filterNot(f => partitionCols.contains(f.name))
-        .flatMap { f =>
-          val c = F.col(f.name)
-          val base = Seq(
-            F.sum(F.when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}_nulls"))
-          f.dataType match {
-            case _: NumericType => base ++ Seq(
-              F.min(c).as(s"${f.name}_min"),
-              F.max(c).as(s"${f.name}_max"),
-              F.avg(c).as(s"${f.name}_avg"))
-            case StringType => base :+
-              F.avg(F.length(c)).as(s"${f.name}_avg_len")
-            case ArrayType(_, _) => base :+
-              F.avg(F.size(c)).as(s"${f.name}_avg_size")
-            case _ => base
-          }
-        }.toSeq
+  /** The shared per-field aggregate set — ONE definition so profile and
+    * profileWithQuantiles cannot drift (the quantile variant silently
+    * dropped the string/array stats when this was duplicated). */
+  private def fieldAggs(df: DataFrame,
+      partitionCols: Seq[String]): Seq[Column] =
+    df.schema.fields.filterNot(f => partitionCols.contains(f.name))
+      .flatMap { f =>
+        val c = F.col(f.name)
+        val base = Seq(
+          F.sum(F.when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}_nulls"))
+        f.dataType match {
+          case _: NumericType => base ++ Seq(
+            F.min(c).as(s"${f.name}_min"),
+            F.max(c).as(s"${f.name}_max"),
+            F.avg(c).as(s"${f.name}_avg"))
+          case StringType => base :+
+            F.avg(F.length(c)).as(s"${f.name}_avg_len")
+          case ArrayType(_, _) => base :+
+            F.avg(F.size(c)).as(s"${f.name}_avg_size")
+          case _ => base
+        }
+      }.toSeq
+
+  private def run(df: DataFrame, partitionCols: Seq[String],
+      aggs: Seq[Column]): DataFrame =
     if (partitionCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(partitionCols.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
-  }
+
+  def profile(df: DataFrame, partitionCols: Seq[String]): DataFrame =
+    run(df, partitionCols,
+      F.count(F.lit(1)).as("n_rows") +: fieldAggs(df, partitionCols))
 
   /** [[profile]] plus mergeable t-digest quantile sketches for the named
     * numeric columns — the north star's "n_tok distribution via t-digest
@@ -374,23 +398,9 @@ object ColumnStats {
       quantileCols: Seq[String],
       probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95, 0.99)): DataFrame = {
     val td = graft.sketch.TDigestQuantiles(probs)
-    val aggs: Seq[Column] = F.count(F.lit(1)).as("n_rows") +:
-      (df.schema.fields.filterNot(f => partitionCols.contains(f.name))
-        .flatMap { f =>
-          val c = F.col(f.name)
-          val base = Seq(
-            F.sum(F.when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}_nulls"))
-          f.dataType match {
-            case _: NumericType => base ++ Seq(
-              F.min(c).as(s"${f.name}_min"),
-              F.max(c).as(s"${f.name}_max"),
-              F.avg(c).as(s"${f.name}_avg"))
-            case _ => base
-          }
-        }.toSeq ++
+    run(df, partitionCols,
+      F.count(F.lit(1)).as("n_rows") +: (fieldAggs(df, partitionCols) ++
         quantileCols.map(qc =>
-          td.column(F.col(qc).cast("double")).as(s"${qc}_q")))
-    if (partitionCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-    else df.groupBy(partitionCols.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
+          td.column(F.col(qc).cast("double")).as(s"${qc}_q"))))
   }
 }

@@ -61,8 +61,8 @@ object Validator {
       globalDf: Option[DataFrame] = None): DataFrame = {
     val ok = suite.rowPredicate
     val rowVerdicts = aggVerdict(df, ok, partitionCols)
-    attachDatasetCounts(rowVerdicts, globalDf.getOrElse(df), suite, idCol,
-      partitionCols, dims)
+    attachDatasetCounts(rowVerdicts, df, globalDf.getOrElse(df), suite,
+      idCol, partitionCols, dims)
   }
 
   /** Detail path: violation rows from every source, union'd, plus
@@ -83,7 +83,10 @@ object Validator {
         val structs = F.array(suite.rowChecks.map { c =>
           F.struct(
             F.lit(c.id).as("constraint_id"),
-            c.pred.as("ok"),
+            // NULL predicate results are failures everywhere: without
+            // the coalesce the filter below drops the null element and
+            // a row counted bad by the verdict emits no violation row
+            F.coalesce(c.pred, F.lit(false)).as("ok"),
             F.coalesce(c.observed.cast("string"), F.lit("null"))
               .as("observed"),
             F.lit(c.expected).as("expected"),
@@ -106,8 +109,9 @@ object Validator {
       }
 
     val dsDf = globalDf.getOrElse(df)
-    val dsViolations = suite.datasetChecks
-      .map(_.violations(dsDf, idCol, partitionCols, dims))
+    val dsViolations = suite.datasetChecks.map(c =>
+      c.violations(if (c.needsGlobalScope) dsDf else df,
+        idCol, partitionCols, dims))
     val violations = (rowViolations +: dsViolations).reduce(_ unionAll _)
 
     val verdicts = validate(df, suite, partitionCols, idCol, dims, globalDf)
@@ -126,8 +130,13 @@ object Validator {
   private def aggVerdict(
       df: DataFrame, ok: Column, partitionCols: Seq[String]): DataFrame = {
     val okCol = "_graft_ok"
+    // coalesce BEFORE aggregating: a NULL predicate result must read as
+    // one consistent answer (bad) across all three aggregates — raw
+    // nulls are counted by sum's otherwise-branch but SKIPPED by
+    // every(), which would report valid=true with n_bad_rows > 0
     val projected = df
-      .select(partitionCols.map(F.col) :+ ok.as(okCol): _*)
+      .select(partitionCols.map(F.col) :+
+        F.coalesce(ok, F.lit(false)).as(okCol): _*)
     val okc = F.col(okCol)
     val aggs = Seq(
       F.count(F.lit(1)).as("n_rows"),
@@ -151,7 +160,8 @@ object Validator {
     * asks for, without pretending cross-partition facts are local. */
   private def attachDatasetCounts(
       verdicts: DataFrame,
-      df: DataFrame,
+      localDf: DataFrame,
+      globalDf: DataFrame,
       suite: CompiledSuite,
       idCol: String,
       partitionCols: Seq[String],
@@ -164,10 +174,15 @@ object Validator {
 
     // Build each check's per-partition-count plan ONCE: re-invoking the
     // method would construct (and for drift, re-derive) the whole subplan
-    // a second time for the same logical question.
+    // a second time for the same logical question. Each check sees the
+    // scope it needs — local-scope checks (RI) must not re-scan the
+    // whole table on a partial run.
+    def frameFor(c: graft.checks.DatasetCheck): DataFrame =
+      if (c.needsGlobalScope) globalDf else localDf
     val countPlans = suite.datasetChecks.map(c =>
       c -> (if (partitionCols.isEmpty) None
-            else c.violationCountsByPartition(df, idCol, partitionCols, dims)))
+            else c.violationCountsByPartition(
+              frameFor(c), idCol, partitionCols, dims)))
     val attributableCounts = countPlans.collect { case (_, Some(p)) => p }
     val global = countPlans.collect { case (c, None) => c }
 
@@ -188,7 +203,7 @@ object Validator {
       if (global.isEmpty) v1.withColumn("n_global_violations", F.lit(0L))
       else {
         val total = global
-          .map(_.violations(df, idCol, partitionCols, dims))
+          .map(c => c.violations(frameFor(c), idCol, partitionCols, dims))
           .reduce(_ unionAll _)
           .agg(F.count(F.lit(1)).as("n_global_violations"))
         v1.crossJoin(F.broadcast(total))

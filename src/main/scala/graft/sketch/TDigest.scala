@@ -124,14 +124,20 @@ object TDigest {
  * partial/merge physical shape via ObjectHashAggregate).
  */
 final case class TDigestQuantiles(qs: Seq[Double], compression: Double = 200.0)
-    extends Aggregator[Double, TDigestState, Seq[Double]] {
+    extends Aggregator[java.lang.Double, TDigestState, Seq[Double]] {
   override def zero: TDigestState = TDigest.empty(compression)
-  override def reduce(b: TDigestState, a: Double): TDigestState =
-    TDigest.insert(b, a)
+  // boxed input: a primitive Double encoder decodes NULL column values
+  // as 0.0 and silently drags every quantile toward zero — nulls must
+  // be SKIPPED, matching how the fused min/max/avg stats treat them
+  override def reduce(b: TDigestState, a: java.lang.Double): TDigestState =
+    if (a == null) b else TDigest.insert(b, a.doubleValue())
   override def merge(b1: TDigestState, b2: TDigestState): TDigestState =
     TDigest.merge(b1, b2)
-  override def finish(r: TDigestState): Seq[Double] =
-    qs.map(TDigest.quantile(r, _))
+  override def finish(r: TDigestState): Seq[Double] = {
+    // compress ONCE; quantile() compresses its immutable input per call
+    val c = TDigest.compress(r)
+    qs.map(TDigest.quantile(c, _))
+  }
   override def bufferEncoder: Encoder[TDigestState] =
     Encoders.product[TDigestState]
   override def outputEncoder: Encoder[Seq[Double]] =

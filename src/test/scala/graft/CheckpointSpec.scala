@@ -160,4 +160,27 @@ class CheckpointSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("valid")))
     assert(rows.forall(_.getAs[String]("snapshot_id").nonEmpty))
   }
+
+  test("zero-row partition checkpoints as vacuously valid and converges") {
+    val base = Files.createTempDirectory("graft-cp-empty").toString
+    val table = mkTable(s"$base/data")
+    // plant a partition whose parquet holds ZERO rows: it produces no
+    // verdict row, and without the empty-partition entries it would be
+    // re-queued on every run forever
+    SequenceGen.generate(spark, 100L, nSources = 1, numPartitions = 1)
+      .toDF().drop("source").limit(0)
+      .write.parquet(s"$base/data/source=hollow")
+    val cp = new CheckpointStore(spark, s"$base/checkpoint")
+
+    val r1 = PartitionedRunner.run(table, suite, cp, "r1")
+    assert(r1.processed.contains("source=hollow"))
+    val entry = cp.load().filter($"partition" === "source=hollow").collect()
+    assert(entry.length == 1)
+    assert(entry(0).getAs[Boolean]("valid") &&
+      entry(0).getAs[Long]("n_rows") == 0L)
+
+    // converged: nothing pending on the next run
+    val r2 = PartitionedRunner.run(table, suite, cp, "r2")
+    assert(r2.processed.isEmpty)
+  }
 }

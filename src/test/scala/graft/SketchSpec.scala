@@ -78,6 +78,18 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("null inputs are skipped, not counted as zeros") {
+    // 50% nulls alongside values centered at 100: a primitive-Double
+    // input encoder decoded nulls as 0.0 and dragged the median to ~50
+    val df = spark.range(0L, 20000L, 1L, 8)
+      .selectExpr(
+        "CASE WHEN id % 2 = 0 THEN CAST(90 + id % 21 AS DOUBLE) " +
+          "ELSE CAST(NULL AS DOUBLE) END AS v")
+    val td = TDigestQuantiles(Seq(0.5))
+    val got = df.agg(td.column($"v")).as[Seq[Double]].head()
+    assert(math.abs(got.head - 100.0) <= 2.0, s"median=${got.head}")
+  }
+
   test("property: quantile estimates are monotone in q and within range") {
     val gen = Gen.listOfN(500, Gen.chooseNum(-1e6, 1e6))
     (1L to 20L).foreach { s =>
