@@ -646,6 +646,7 @@ object SparkEntry {
       """WITH f0 AS (
         |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
         |    length(text) AS nc,
+        |    length(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ncn,
         |    CASE WHEN length(trim(text)) = 0 THEN 0
         |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
         |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
@@ -661,7 +662,7 @@ object SparkEntry {
         |    ROUND(CAST(n_punct AS DOUBLE) / GREATEST(nc, 1), 6) AS punct_ratio,
         |    ROUND(CAST(n_digit AS DOUBLE) / GREATEST(nc, 1), 6) AS digit_ratio,
         |    ROUND(CAST(n_stop AS DOUBLE) / CAST(GREATEST(nt, 1) AS DOUBLE), 6) AS stopword_ratio,
-        |    ROUND(CAST(nc - nt + 1 AS DOUBLE) / CAST(GREATEST(nt, 1) AS DOUBLE), 6) AS mean_word_len,
+        |    ROUND(CAST(ncn - nt + 1 AS DOUBLE) / CAST(GREATEST(nt, 1) AS DOUBLE), 6) AS mean_word_len,
         |    nt AS n_tokens
         |  FROM f0)
         |SELECT doc_id, alpha_ratio, punct_ratio, digit_ratio,

@@ -141,7 +141,12 @@ case class CosineSim(left: Expression, right: Expression)
       sab += xa * yb; saa += xa * xa; sbb += yb * yb
       i += 1
     }
-    sab / (math.sqrt(saa) * math.sqrt(sbb))
+    // zero-norm guard: 0/0 = NaN, and Spark ORDERS NaN as the largest
+    // double — a zero vector would outrank every real neighbor in a
+    // cosine-desc top-k and satisfy any >= threshold filter. Similarity
+    // to a zero vector is defined as 0.
+    if (saa == 0.0 || sbb == 0.0) 0.0
+    else sab / (math.sqrt(saa) * math.sqrt(sbb))
   }
 
   override protected def doGenCode(
@@ -170,7 +175,8 @@ case class CosineSim(left: Expression, right: Expression)
          |    double $yb = ${getD(b, right.dataType, i)};
          |    $sab += $xa * $yb; $saa += $xa * $xa; $sbb += $yb * $yb;
          |  }
-         |  ${ev.value} = $sab / (java.lang.Math.sqrt($saa) * java.lang.Math.sqrt($sbb));
+         |  ${ev.value} = ($saa == 0.0 || $sbb == 0.0) ? 0.0
+         |    : $sab / (java.lang.Math.sqrt($saa) * java.lang.Math.sqrt($sbb));
          |}
        """.stripMargin
     })

@@ -26,7 +26,12 @@ object Dedup {
     * partial-aggregated shuffle of (hash, id). */
   def exactGroups(df: DataFrame, idCol: String, textCol: String,
       key: Column => Column = TextAnalysis.fingerprint): DataFrame =
-    df.select(
+    df
+      // rows with a MISSING text are not duplicates of each other:
+      // xxhash64 of an all-null input returns the seed, which would
+      // collapse every null-text doc into one giant "duplicate" group
+      .filter(F.col(textCol).isNotNull)
+      .select(
         F.col(idCol).cast("string").as("doc_id"),
         key(F.col(textCol)).as("fp"))
       .groupBy("fp")

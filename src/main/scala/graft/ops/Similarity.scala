@@ -84,12 +84,14 @@ object Similarity {
         F.col(idCol).cast("string").as("query_id"),
         F.col(vecCol).as("qv"),
         F.explode(probeBuckets).as("bucket"))
+    // no pair-dedup needed — and the groupBy it replaced was a full
+    // extra shuffle: each NEIGHBOR lives in exactly one bucket and the
+    // probe list (home + single-bit flips) contains all-distinct
+    // values, so a (query, neighbor) pair can join at most once
     val scored = F.broadcast(q).join(c, Seq("bucket"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         F.round(cosine(F.col("qv"), F.col("cv")), 6).as("cosine"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(F.first("cosine").as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(F.col("cosine").desc, F.col("neighbor_id"))
@@ -110,9 +112,12 @@ object Similarity {
       F.col(idCol).cast("string").as("doc_id"),
       F.col(vecCol).as("v"),
       lshBucket(F.col(vecCol), dim, planes, seed).as("bucket"))
+    // each doc sits in exactly ONE bucket and bucketedPairs emits each
+    // within-bucket pair once, so pairs cannot repeat — no dedup
+    // aggregation (its groupBy was a full extra shuffle of every
+    // scored pair on the near-dup hot path)
     Dedup.bucketedPairs(sig, Seq("bucket"), "doc_id", Seq("v"), maxBucket)
       .select(F.col("id_a"), F.col("id_b"),
         F.round(cosine(F.col("v_a"), F.col("v_b")), 6).as("cosine"))
-      .groupBy("id_a", "id_b").agg(F.first("cosine").as("cosine"))
   }
 }

@@ -58,7 +58,11 @@ object TextAnalysis {
           F.greatest(nChars, F.lit(1)), 6))
       .withColumn("stopword_ratio", F.round(stop / safeTok, 6))
       .withColumn("mean_word_len",
-        F.round((nChars - nTok + 1).cast("double") / safeTok, 6))
+        // word chars = whitespace-NORMALIZED length − (nTok − 1)
+        // separators: raw length would count every extra space/newline
+        // as word mass and push normal markdown past the quality band
+        F.round((F.length(F.regexp_replace(F.trim(t), "\\s+", " "))
+          - nTok + 1).cast("double") / safeTok, 6))
   }
 
   /** Composite quality score in [0,1] (C4/Gopher-style rule bundle):
@@ -117,12 +121,15 @@ object TextAnalysis {
     }.otherwise(F.lit("und"))
   }
 
-  /** Normalized 64-bit content fingerprint: collapse whitespace, strip
-    * punctuation, lowercase, xxhash64 — the exact-dedup key that survives
-    * formatting noise. */
+  /** Normalized 64-bit content fingerprint: strip punctuation,
+    * lowercase, collapse whitespace, TRIM, xxhash64 — the exact-dedup
+    * key that survives formatting noise. The trim matters: stripping a
+    * trailing "." exposes a trailing space that the \\s+ collapse alone
+    * keeps, so "hello." and "hello ." would otherwise fingerprint
+    * differently. */
   def fingerprint(text: Column): Column =
-    F.xxhash64(F.regexp_replace(
-      F.lower(F.regexp_replace(text, "[\\p{Punct}]", "")), "\\s+", " "))
+    F.xxhash64(F.trim(F.regexp_replace(
+      F.lower(F.regexp_replace(text, "[\\p{Punct}]", "")), "\\s+", " ")))
 
   /** Rolling-hash shingle fingerprints: hashes of each k-word window —
     * the building block for containment/near-dup detection. Runs in the

@@ -38,7 +38,10 @@ object StreamValidator {
     val structs = F.array(suite.rowChecks.map { c =>
       F.struct(
         F.lit(c.id).as("constraint_id"),
-        c.pred.as("ok"),
+        // NULL predicate = failure, like the batch detail path — the
+        // filter below would treat a raw null as "drop", silently
+        // losing the violation
+        F.coalesce(c.pred, F.lit(false)).as("ok"),
         F.coalesce(c.observed.cast("string"), F.lit("null")).as("observed"),
         F.lit(c.expected).as("expected"),
         // lazily computed only on failing rows (see batch detail path)
@@ -84,23 +87,30 @@ object StreamValidator {
         F.col(idCol).cast("string").as("_id"))
       .as[(String, String)]
       .groupByKey(_._1)
-    keyed.flatMapGroupsWithState[(String, Long), DupEvent](
+    keyed.flatMapGroupsWithState[(Option[String], Long), DupEvent](
       org.apache.spark.sql.streaming.OutputMode.Update(),
       stateTtl.fold(GroupStateTimeout.NoTimeout())(_ =>
         GroupStateTimeout.ProcessingTimeTimeout())) {
-      case (key, rows, state: GroupState[(String, Long)]) =>
+      case (key, rows, state: GroupState[(Option[String], Long)]) =>
         if (state.hasTimedOut) {
           state.remove()
           Iterator.empty
         } else {
-          val (first, seen) = state.getOption.getOrElse(("", 0L))
-          var firstId = first
+          // Option state, not a ""-sentinel: an EMPTY-STRING doc id is
+          // a legitimate first occurrence (the sentinel silently missed
+          // its duplicates), and a null id must not be adopted as first
+          // (the sentinel NPE'd on the key's next arrival)
+          val (first0, seen) = state.getOption
+            .getOrElse((Option.empty[String], 0L))
+          var firstId = first0
           var n = seen
           val out = Seq.newBuilder[DupEvent]
           rows.foreach { case (_, id) =>
             n += 1
-            if (firstId.isEmpty) firstId = id
-            else out += DupEvent(key, id, firstId, n)
+            firstId match {
+              case None => firstId = Option(id)
+              case Some(f) => out += DupEvent(key, id, f, n)
+            }
           }
           state.update((firstId, n))
           stateTtl.foreach(state.setTimeoutDuration)
@@ -128,7 +138,10 @@ object StreamValidator {
     val keys = F.window(F.col(timeCol), windowDuration) +:
       partitionCols.map(F.col)
     stream
-      .withColumn("_graft_ok", suite.rowPredicate)
+      // coalesce BEFORE aggregating (same reasoning as the batch
+      // aggVerdict): sum counts raw nulls as bad but every() skips
+      // them — a window would report rows_ok=true with n_bad_rows>0
+      .withColumn("_graft_ok", F.coalesce(suite.rowPredicate, F.lit(false)))
       .withWatermark(timeCol, watermarkDelay)
       .groupBy(keys: _*)
       .agg(
