@@ -93,7 +93,34 @@ object ConstraintCompiler {
   def compile(suite: ConstraintSuite,
       registry: ConstraintRegistry = ConstraintRegistry.empty): CompiledSuite = {
     val resolved = resolve(suite, registry)
-    val (rowCs, dsCs) = resolved.constraints.partition(isRowLocal)
+    // A whole-suite Ref inlines its target as an AllOf — if the target
+    // carried dataset-level constraints they would sit inside a
+    // "row-local" conjunction and crash the lowering. Hoist them back to
+    // the top level (splitting a conjunction is semantics-preserving);
+    // a dataset check under a NON-conjunctive combinator has no
+    // compilable meaning and refuses with a ref-aware message.
+    def isDs(c: Constraint): Boolean = c match {
+      case _: Unique | _: RefIntegrity | _: NoDrift | _: NoArrayDrift =>
+        true
+      case _ => false
+    }
+    def containsDs(c: Constraint): Boolean = {
+      var found = false
+      Constraint.walk(c)(x => found ||= isDs(x))
+      found
+    }
+    def hoist(c: Constraint): Seq[Constraint] = c match {
+      case c0 if !containsDs(c0) => Seq(c0)
+      case c0 if isDs(c0)        => Seq(c0)
+      case AllOf(_, cs)          => cs.flatMap(hoist)
+      case other => throw new CompileException(
+        s"dataset-level constraint nested under non-conjunctive " +
+          s"combinator '${other.id}' — uniqueness/RI/drift apply to the " +
+          "whole table and cannot be disjoined, negated or made " +
+          "conditional")
+    }
+    val (rowCs, dsCs) = resolved.constraints.flatMap(hoist)
+      .partition(isRowLocal)
     val rowChecks = rowCs.map(c => CompiledRowCheck(
       c.id, lowerPred(c, None), observedOf(c), expectedOf(c),
       instancePathOf(c)))
@@ -338,7 +365,10 @@ object ConstraintCompiler {
       case PatternValues(id, col, p, e)  => PatternValues(id, col, p, rw(e))
       case other => other
     }
-    ConstraintSuite(suite.id, suite.constraints.map(rw))
+    // preserve dynamicAnchors: resolve() is public and DocValidator /
+    // render round-trips would otherwise lose the declarations
+    ConstraintSuite(suite.id, suite.constraints.map(rw),
+      suite.dynamicAnchors)
   }
 
   private def isRowLocal(c: Constraint): Boolean = c match {
@@ -365,6 +395,17 @@ object ConstraintCompiler {
   /** Pass-on-null wrapper: JSON Schema applicability semantics. */
   private def nullPasses(c: Column, raw: Column): Column =
     c.isNull || F.coalesce(raw, F.lit(false))
+
+  /** "Key is NOT covered" predicate for unevaluatedProperties — ONE
+    * definition shared by the lowering and the observed-summary so the
+    * flagged rows and their summaries can never disagree. */
+  private def uncoveredKey(ks: Seq[String], ps: Seq[String])
+      : Column => Column = k => {
+    val inKeys = if (ks.isEmpty) F.lit(false) else k.isin(ks: _*)
+    val inPats = ps.map(p => k.rlike(p))
+      .reduceOption(_ || _).getOrElse(F.lit(false))
+    !(inKeys || inPats)
+  }
 
   private[compile] def lowerPred(
       c: Constraint, scope: Option[Column]): Column = c match {
@@ -511,15 +552,8 @@ object ConstraintCompiler {
 
     case UnevaluatedProperties(_, col, elem, ks, ps) =>
       val v = res(col, scope)
-      val uncovered = (k: Column) => {
-        val inKeys =
-          if (ks.isEmpty) F.lit(false) else k.isin(ks: _*)
-        val inPats = ps.map(p => k.rlike(p))
-          .reduceOption(_ || _).getOrElse(F.lit(false))
-        !(inKeys || inPats)
-      }
       nullPasses(v, F.forall(
-        F.map_values(F.map_filter(v, (k, _) => uncovered(k))),
+        F.map_values(F.map_filter(v, (k, _) => uncoveredKey(ks, ps)(k))),
         x => lowerPred(elem, Some(x))))
 
     case UnevaluatedItems(_, _, _) =>
@@ -620,7 +654,9 @@ object ConstraintCompiler {
       case UnevaluatedProperties(_, col, _, _, _) =>
         if (!col.startsWith("$")) buf += col
       case TypeIs(_, col, _)          => if (!col.startsWith("$")) buf += col
-      case SizeConsistency(_, i, a)   => buf += i; buf += a
+      case SizeConsistency(_, i, a) =>
+        if (!i.startsWith("$")) buf += i
+        if (!a.startsWith("$")) buf += a
       case _                          => ()
     }
     buf.toSeq
@@ -671,12 +707,7 @@ object ConstraintCompiler {
     case UnevaluatedItems(_, col, _) =>
       F.concat(F.lit("size="), F.size(F.col(col)).cast("string"))
     case UnevaluatedProperties(_, col, _, ks, ps) =>
-      keySummary(F.filter(F.map_keys(F.col(col)), k => {
-        val inKeys = if (ks.isEmpty) F.lit(false) else k.isin(ks: _*)
-        val inPats = ps.map(p => k.rlike(p))
-          .reduceOption(_ || _).getOrElse(F.lit(false))
-        !(inKeys || inPats)
-      }))
+      keySummary(F.filter(F.map_keys(F.col(col)), uncoveredKey(ks, ps)))
     case SizeConsistency(_, i, a) =>
       F.concat(F.col(i).cast("string"), F.lit("!=size:"),
         F.size(F.col(a)).cast("string"))

@@ -21,7 +21,14 @@ final case class SequenceRow(
  * Planted violations (all at index-derived positions, so tests can
  * compute the exact expected set):
  *  - duplicate doc_id           : every DupEvery-th row copies the
- *                                 previous row's id; additionally rows
+ *                                 PREVIOUS row's id — which, when row
+ *                                 i−1 is itself a hot-dup row (i ≡ 1
+ *                                 mod HotDupEvery, first at i=10007),
+ *                                 copies an id no plain row carries, so
+ *                                 that occurrence is NOT a pair; tests
+ *                                 must replay docIdOf and group (as
+ *                                 ValidatorSpec does), never count
+ *                                 n/DupEvery. Additionally rows
  *                                 ≡ HotDupEvery create ONE hot key
  *                                 ("<prefix>-hot") to exercise skew
  *  - out-of-range token         : every BadTokenEvery-th row sets

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
 /**
@@ -19,8 +18,8 @@ import org.apache.spark.sql.{functions => F}
  *  - small-star: every node connects its smaller-or-equal neighbors
  *    (and itself) to that minimum.
  *
- * Each round is two window-aggregations + projections over the edge
- * set; both key by the same column so the exchanges co-partition. The
+ * Each round is two aggregate-plus-join passes over the edge set; both
+ * key by the same column so the exchanges co-partition. The
  * alternation converges in O(log n) rounds even on path graphs —
  * label-propagation's O(diameter) is the shape that does NOT survive a
  * 10^12-row corpus with long duplicate chains. At convergence every
@@ -103,13 +102,20 @@ object ConnectedComponents {
 
   /** Connect every neighbor larger than the center to the neighborhood
     * minimum. Operates on the bidirectional view so each node sees its
-    * full neighborhood. */
+    * full neighborhood.
+    *
+    * Neighborhood minima come from `groupBy(u).min(v)` + an equi-join
+    * rather than a window: `Window.partitionBy(u)` buffers a node's
+    * ENTIRE neighborhood in one sorted task — exactly the hub/skew
+    * shape a near-dup component has — while the aggregate collapses a
+    * hub to one row per mapper (map-side partial agg) and the join is
+    * eligible for AQE skew-splitting, which windows are not. */
   private def largeStar(edges: DataFrame): DataFrame = {
     val bidir = edges.select("u", "v")
       .unionByName(edges.select(F.col("v").as("u"), F.col("u").as("v")))
-    val w = Window.partitionBy("u")
-    bidir
-      .withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+    val mins = bidir.groupBy("u").agg(F.min("v").as("_mv"))
+    bidir.join(mins, Seq("u"))
+      .withColumn("m", F.least(F.col("_mv"), F.col("u")))
       .filter(F.col("v") > F.col("u"))
       .select(F.col("v").as("u"), F.col("m").as("v"))
       .filter(F.col("u") =!= F.col("v"))
@@ -117,12 +123,14 @@ object ConnectedComponents {
   }
 
   /** Connect the center and its (all smaller, post-large-star)
-    * neighbors to the neighborhood minimum. */
+    * neighbors to the neighborhood minimum. Same aggregate+join shape
+    * as [[largeStar]] for the same skew reason; the center edges come
+    * straight from the per-node minima (already one row per node). */
   private def smallStar(edges: DataFrame): DataFrame = {
-    val w = Window.partitionBy("u")
-    val withMin = edges.withColumn("m", F.min("v").over(w))
-    val center = withMin.select(F.col("u"), F.col("m").as("v")).distinct()
-    val others = withMin.filter(F.col("v") =!= F.col("m"))
+    val mins = edges.groupBy("u").agg(F.min("v").as("m"))
+    val center = mins.select(F.col("u"), F.col("m").as("v"))
+    val others = edges.join(mins, Seq("u"))
+      .filter(F.col("v") =!= F.col("m"))
       .select(F.col("v").as("u"), F.col("m").as("v"))
     center.unionByName(others)
       .filter(F.col("u") =!= F.col("v"))

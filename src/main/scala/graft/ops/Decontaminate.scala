@@ -18,10 +18,15 @@ import org.apache.spark.sql.{functions => F}
 object Decontaminate {
 
   /** Distinct shingle hashes of the benchmark corpus (the broadcast
-    * side). k must match the corpus-side shingling. */
+    * side). k must match the corpus-side shingling. Blank/whitespace
+    * texts are excluded: they would contribute the hash of the empty
+    * word list, making every blank corpus doc "contaminated" —
+    * exact-dup semantics masquerading as k-gram overlap. */
   def benchmarkShingles(
       bench: DataFrame, textCol: String, k: Int): DataFrame =
-    bench.select(F.explode(F.array_distinct(
+    bench
+      .filter(F.length(F.trim(F.col(textCol))) > 0)
+      .select(F.explode(F.array_distinct(
         TextAnalysis.shingleHashes(F.col(textCol), k))).as("_sh"))
       .distinct()
 
@@ -34,17 +39,24 @@ object Decontaminate {
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, k: Int = 8): DataFrame = {
     val benchSh = benchmarkShingles(bench, benchTextCol, k)
-    val docSh = docs.select(
-      F.col(idCol).cast("string").as("doc_id"),
-      F.array_distinct(TextAnalysis.shingleHashes(F.col(textCol), k))
-        .as("_grams"))
+    // per-ROW key, deterministic from content: duplicate doc_ids (which
+    // this pipeline's sibling dedup ops exist to find!) must not merge
+    // into one group — summed hits over first()'s arbitrary n_grams
+    // gave nondeterministic fractions that could exceed 1.0
+    val docSh = docs
+      .filter(F.length(F.trim(F.col(textCol))) > 0)
+      .select(
+        F.col(idCol).cast("string").as("doc_id"),
+        F.xxhash64(F.col(idCol).cast("string"), F.col(textCol)).as("_rk"),
+        F.array_distinct(TextAnalysis.shingleHashes(F.col(textCol), k))
+          .as("_grams"))
     docSh
-      .select(F.col("doc_id"), F.size(F.col("_grams")).as("n_grams"),
+      .select(F.col("doc_id"), F.col("_rk"),
+        F.size(F.col("_grams")).as("n_grams"),
         F.explode(F.col("_grams")).as("_sh"))
       .join(F.broadcast(benchSh), Seq("_sh"))
-      .groupBy("doc_id")
-      .agg(F.count(F.lit(1)).as("n_hits"),
-        F.first("n_grams").as("n_grams"))
+      .groupBy("doc_id", "_rk", "n_grams")
+      .agg(F.count(F.lit(1)).as("n_hits"))
       .select(F.col("doc_id"), F.col("n_hits"), F.col("n_grams"),
         F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6)
           .as("contained_frac"))

@@ -82,11 +82,19 @@ final class ParquetPartitionedTable(
   override def scan(parts: Seq[String]): DataFrame = {
     // each partition name is c1=v1/c2=v2/...; the disjunction of
     // per-partition conjunctions compiles to a static partition-pruning
-    // predicate — only the pending partitions' files are listed/read
+    // predicate — only the pending partitions' files are listed/read.
+    // Directory names carry Hive-ESCAPED values while the reader
+    // surfaces DECODED column values ('a%3Ab' on disk, 'a:b' in the
+    // column; __HIVE_DEFAULT_PARTITION__ reads back as NULL) — compare
+    // against the decoded form or affected partitions silently scan
+    // zero rows and checkpoint a PASS for data never checked.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val pred = parts.map { p =>
       p.split("/").toSeq.map { seg =>
         val Array(c, v) = seg.split("=", 2)
-        F.col(c) === F.lit(v)
+        if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+          F.col(c).isNull
+        else F.col(c) === F.lit(ExternalCatalogUtils.unescapePathName(v))
       }.reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(F.lit(false))
     scanAll().filter(pred)
