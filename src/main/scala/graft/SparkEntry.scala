@@ -881,7 +881,7 @@ object SparkEntry {
         |       FROM idx WHERE i < 5 + doc_id % 10 AND i % 2 = 0)
         |    ELSE 0.0 END, 6) AS frame_mean,
         |  CAST(CASE doc_id % 3
-        |       WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 41 END
+        |       WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 39 END
         |       WHEN 1 THEN 44 + 16 * (1 + doc_id % 2) * (10 + doc_id % 50)
         |       ELSE 192 + 4 * (5 + doc_id % 10) +
         |         (SELECT SUM(10 + (doc_id + i) % 20) FROM idx

@@ -485,12 +485,17 @@ object ConstraintCompiler {
     // would be wrong for fractional element types, which we can't see
     // until analysis. Everything else falls through to `forall`.
     case EachElement(_, col, Bounds(_, "$", mn, mx, false, false))
-        if mn.forall(_.isWhole) && mx.forall(_.isWhole) &&
-          (mn.nonEmpty || mx.nonEmpty) =>
+        if mn.isDefined && mx.isDefined &&
+          Seq(mn.get, mx.get).forall(b => b.isWhole && b.isValidLong) =>
+      // BOTH bounds present and Long-representable: a MinValue/MaxValue
+      // sentinel for a one-sided bound is a REAL bound to the
+      // expression (double elements beyond ±9.2e18 would falsely
+      // fail), and BigDecimal.toLong of an out-of-range whole bound
+      // silently truncates to garbage — those shapes take the forall
+      // path below instead.
       val v = res(col, scope)
-      val lo = mn.map(_.toLong).getOrElse(Long.MinValue)
-      val hi = mx.map(_.toLong).getOrElse(Long.MaxValue)
-      nullPasses(v, graft.functions.ArrayAllBetween(v, lo, hi))
+      nullPasses(v,
+        graft.functions.ArrayAllBetween(v, mn.get.toLong, mx.get.toLong))
 
     case EachElement(_, col, elem) =>
       val v = res(col, scope)

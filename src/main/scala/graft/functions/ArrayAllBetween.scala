@@ -45,18 +45,32 @@ case class ArrayAllBetween(child: Expression, lo: Long, hi: Long)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val et = elementType
+    val integral = et match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _                                             => false
+    }
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val v: Double = et match {
-          case IntegerType => arr.getInt(i).toDouble
-          case LongType    => arr.getLong(i).toDouble
-          case ShortType   => arr.getShort(i).toDouble
-          case ByteType    => arr.getByte(i).toDouble
-          case DoubleType  => arr.getDouble(i)
-          case FloatType   => arr.getFloat(i).toDouble
+        if (integral) {
+          // compare in LONG, matching the codegen path: a double
+          // comparison loses precision above 2^53 and the two eval
+          // paths would disagree on the same plan
+          val v: Long = et match {
+            case IntegerType => arr.getInt(i).toLong
+            case LongType    => arr.getLong(i)
+            case ShortType   => arr.getShort(i).toLong
+            case _           => arr.getByte(i).toLong
+          }
+          if (v < lo || v > hi) return false
+        } else {
+          val v: Double =
+            if (et == DoubleType) arr.getDouble(i)
+            else arr.getFloat(i).toDouble
+          // NaN is not within ANY range (v<lo || v>hi is false for
+          // NaN); the forall fallback also fails NaN, keep parity
+          if (v.isNaN || v < lo || v > hi) return false
         }
-        if (v < lo || v > hi) return false
       }
       i += 1
     }
@@ -87,12 +101,18 @@ case class ArrayAllBetween(child: Expression, lo: Long, hi: Long)
         else (s"${lo}.0d", s"${hi}.0d")
       val nullGuard =
         if (elementNullable) s"if ($arr.isNullAt($i)) continue;" else ""
+      // NaN fails the range check (plain comparisons are false for NaN)
+      val nanGuard =
+        if (jt == "double")
+          s"if (Double.isNaN($v)) { ${ev.value} = false; break; }"
+        else ""
       s"""
          |${ev.value} = true;
          |int $n = $arr.numElements();
          |for (int $i = 0; $i < $n; $i++) {
          |  $nullGuard
          |  $jt $v = $get;
+         |  $nanGuard
          |  if ($v < $loLit || $v > $hiLit) { ${ev.value} = false; break; }
          |}
        """.stripMargin

@@ -40,12 +40,15 @@ case class BucketCounts(child: Expression, buckets: Int)
   private def elementNullable: Boolean =
     child.dataType.asInstanceOf[ArrayType].containsNull
 
-  private def getLong(arr: ArrayData, i: Int): Long =
+  // extractor resolved ONCE per expression, not per element — the
+  // interpreted path would otherwise pay an ArrayType cast + type
+  // dispatch for every element of every row
+  @transient private lazy val getLong: (ArrayData, Int) => Long =
     child.dataType.asInstanceOf[ArrayType].elementType match {
-      case IntegerType => arr.getInt(i).toLong
-      case LongType    => arr.getLong(i)
-      case ShortType   => arr.getShort(i).toLong
-      case ByteType    => arr.getByte(i).toLong
+      case IntegerType => (arr, i) => arr.getInt(i).toLong
+      case LongType    => (arr, i) => arr.getLong(i)
+      case ShortType   => (arr, i) => arr.getShort(i).toLong
+      case ByteType    => (arr, i) => arr.getByte(i).toLong
     }
 
   override def nullSafeEval(input: Any): Any = {

@@ -99,10 +99,12 @@ object ImageHeaders {
   }
 
   /** Minimal JPEG header stream: SOI + APP0/JFIF + SOF0 (3-component
-    * baseline). Always 41 bytes; no scan data (parsers that only read
-    * headers never need it). */
+    * baseline). Always 39 bytes — SOI(2) + APP0(2+16) + SOF0(2+17),
+    * sized exactly: trailing buffer slack would be garbage bytes where
+    * a stricter segment walker expects an 0xFF marker prefix. No scan
+    * data (parsers that only read headers never need it). */
   def buildJpeg(width: Int, height: Int): Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(41)
+    val b = java.nio.ByteBuffer.allocate(39)
     b.putShort(0xffd8.toShort)                       // SOI
     b.putShort(0xffe0.toShort).putShort(16)          // APP0, len 16
     b.put("JFIF".getBytes("US-ASCII")).put(0.toByte) // identifier

@@ -47,6 +47,13 @@ object Ivf {
     val sample =
       (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)
         .select(F.col(vecCol).cast("array<double>").as("_v"))
+        // null vectors NPE inside array_to_vector's UDF, and a
+        // zero-norm vector normalizes to all-NULL elements (Spark
+        // Divide yields NULL on a 0 divisor) — a corrupt origin point
+        // that distorts every centroid. Drop both before the fit.
+        .filter(F.col("_v").isNotNull &&
+          F.aggregate(F.transform(F.col("_v"), x => x * x),
+            F.lit(0.0), (a, x) => a + x) > 0)
         .select(array_to_vector(normalizeCol(F.col("_v"))).as("features"))
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter)

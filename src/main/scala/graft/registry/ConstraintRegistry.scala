@@ -34,17 +34,20 @@ final class ConstraintRegistry {
 
   /** Classpath fallback, the analogue of `readClasspathResource`
     * (`BlazeWrapper.java:172-190`): `classpath://x.json` loads a suite
-    * JSON from test/main resources. */
+    * JSON from test/main resources. Parsed ONCE and cached in the
+    * registry map — a suite with many refs to the same resource would
+    * otherwise re-open and re-parse it per ref during compilation. */
   private def resolveClasspath(name: String): Option[ConstraintSuite] =
     if (!name.startsWith("classpath://")) None
-    else {
+    else Option(suites.computeIfAbsent(name, _ => {
       val path = name.stripPrefix("classpath://")
-      Option(getClass.getClassLoader.getResourceAsStream(path)).map { in =>
-        try ConstraintJson.parseSuite(
-          new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      val in = getClass.getClassLoader.getResourceAsStream(path)
+      if (in == null) null // computeIfAbsent: null = no mapping cached
+      else
+        try ConstraintJson.parseSuite(new String(
+          in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
         finally in.close()
-      }
-    }
+    }))
 }
 
 object ConstraintRegistry {
