@@ -340,6 +340,34 @@ object JsonSchemaImport {
           out += PropertyValues(fresh(path, s"req_${r.asText()}"), path,
             r.asText(), NotNull(fresh(path, "reqNN"), "$"))
         })
+        // dependent*/unevaluatedProperties in the MAP flavor: these are
+        // in Handled, so dropping them here would silently under-enforce
+        // (the module's stated refuse-don't-lie contract). Presence of a
+        // key = PropertyValues(key, NotNull($)) — for a map column a
+        // null value IS the representation of an absent field.
+        def presence(k: String): Constraint =
+          PropertyValues(fresh(path, s"has_$k"), path, k,
+            NotNull(fresh(path, "presNN"), "$"))
+        Option(s.get("dependentRequired")).foreach(
+          _.properties().asScala.foreach { e =>
+            val needed = e.getValue.elements().asScala
+              .map(x => presence(x.asText())).toSeq
+            out += IfThen(fresh(path, s"depReq_${e.getKey}"),
+              presence(e.getKey), allOfWrap(path, needed))
+          })
+        Option(s.get("dependentSchemas")).foreach(
+          _.properties().asScala.foreach { e =>
+            out += IfThen(fresh(path, s"depSchema_${e.getKey}"),
+              presence(e.getKey),
+              allOfWrap(path, lower(e.getValue, path, refStack)))
+          })
+        Option(s.get("unevaluatedProperties")).foreach { u =>
+          // declared coverage is computed by the compiler's
+          // resolveUnevaluated pass from sibling PropertyValues/
+          // PatternValues/KeysIn on the same column
+          out += UnevaluatedProperties(fresh(path, "unevalProps"), path,
+            allOfWrap("$", lower(u, "$", refStack)))
+        }
       } else {
         def childPath(p: String): String =
           if (path.isEmpty) p else s"$path.$p"

@@ -139,6 +139,24 @@ object DocValidator {
     patterns.computeIfAbsent(pattern, java.util.regex.Pattern.compile)
       .matcher(s).find()
 
+  /** Order-insensitive canonical rendering for JSON equality inside
+    * containers: object fields sorted recursively, numbers by value
+    * (1 ≡ 1.0), arrays positional. Nested scalars keep strict JSON
+    * typing ("1" ≠ 1) — content-typing applies only at column level. */
+  private def canonical(n: JsonNode): String =
+    if (n.isNumber)
+      "n" + BigDecimal(n.decimalValue())
+        .bigDecimal.stripTrailingZeros.toPlainString
+    else if (n.isObject)
+      n.properties().asScala.toSeq
+        .map(e => e.getKey -> canonical(e.getValue))
+        .sortBy(_._1)
+        .map { case (k, v) => s"${mapper.writeValueAsString(k)}:$v" }
+        .mkString("{", ",", "}")
+    else if (n.isArray)
+      n.elements().asScala.map(canonical).mkString("[", ",", "]")
+    else n.toString
+
   private def elems(n: JsonNode): Option[Seq[JsonNode]] =
     if (n.isArray) Some(n.elements().asScala.toSeq) else None
 
@@ -200,11 +218,15 @@ object DocValidator {
     case UniqueItems(_, col) =>
       // numerically equal values of different JSON node types (1 vs
       // 1.0) are the SAME element — a typed array column would have
-      // coerced them (and the official suite's uniqueItems cases agree)
+      // coerced them (and the official suite's uniqueItems cases agree).
+      // Containers canonicalize (object keys sorted recursively,
+      // numbers by value): 2020-12 equality ignores property order.
       withValue(doc, col, scope)(v => elems(v).forall { xs =>
         val keys = xs.map(x => numeric(x)
           .map(d => "n:" + d.bigDecimal.stripTrailingZeros.toPlainString)
-          .getOrElse("v:" + x.toString))
+          .getOrElse(
+            if (x.isContainerNode) "c:" + canonical(x)
+            else "v:" + x.toString))
         keys.distinct.size == keys.size
       })
     case EachElement(_, col, elem) =>
@@ -242,9 +264,17 @@ object DocValidator {
             Some(com.fasterxml.jackson.databind.node.TextNode.valueOf(k)))
         }))
     case PropertyValues(_, col, key, elem) =>
-      withValue(doc, col, scope)(v => fields(v).forall(fs =>
-        fs.collectFirst { case (k, x) if k == key => x }
-          .forall(x => evalPred(elem, doc, Some(x)))))
+      // A MISSING key evaluates elem with a MissingNode scope, mirroring
+      // the Catalyst lowering's try_element_at(v, key) → null: NotNull
+      // fails (this is how map-flavored `required` lowers), every other
+      // leaf keeps pass-on-null applicability. collectFirst().forall
+      // would silently PASS NotNull on absent keys — verdict-parity break.
+      withValue(doc, col, scope)(v => fields(v).forall { fs =>
+        val value = fs.collectFirst { case (k, x) if k == key => x }
+          .getOrElse(com.fasterxml.jackson.databind.node
+            .MissingNode.getInstance)
+        evalPred(elem, doc, Some(value))
+      })
     case PatternValues(_, col, keyPattern, elem) =>
       withValue(doc, col, scope)(v => fields(v).forall(
         _.forall { case (k, x) =>
@@ -266,9 +296,12 @@ object DocValidator {
           // on BOTH engines
           case "integer" => isNum && {
             val d = BigDecimal(s)
+            // the lowering's try_cast to decimal(38,10) ROUNDS at scale
+            // 10 (HALF_UP), so "5.00000000001" is integer there; round
+            // identically before the remainder for verdict parity
             d.abs < BigDecimal("1e28") &&
-              d.bigDecimal.remainder(java.math.BigDecimal.ONE)
-                .signum() == 0
+              d.bigDecimal.setScale(10, java.math.RoundingMode.HALF_UP)
+                .remainder(java.math.BigDecimal.ONE).signum() == 0
           }
           case "number"  => isNum
           case "boolean" =>

@@ -56,7 +56,12 @@ object Decontaminate {
         F.explode(F.col("_grams")).as("_sh"))
       .join(F.broadcast(benchSh), Seq("_sh"))
       .groupBy("doc_id", "_rk", "n_grams")
-      .agg(F.count(F.lit(1)).as("n_hits"))
+      // DISTINCT matched shingles, not joined rows: rows with identical
+      // (doc_id, text) share the content-derived _rk and merge into one
+      // group — a plain count would sum each duplicate row's hits while
+      // n_grams stays per-doc, pushing contained_frac past 1.0 for the
+      // exact-duplicate inputs this pipeline explicitly expects
+      .agg(F.countDistinct(F.col("_sh")).as("n_hits"))
       .select(F.col("doc_id"), F.col("n_hits"), F.col("n_grams"),
         F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6)
           .as("contained_frac"))

@@ -125,6 +125,16 @@ class DocValidatorSpec extends AnyFunSuite {
     assert(!DocValidator.validate(uniq, """{"xs":[1, 1.0]}"""))
     assert(DocValidator.validate(uniq, """{"xs":[1, 1.5]}"""))
 
+    // 2020-12 equality ignores object property order: equal objects
+    // with different key order are DUPLICATES (canonicalized keys)
+    assert(!DocValidator.validate(uniq,
+      """{"xs":[{"a":1,"b":2},{"b":2,"a":1}]}"""))
+    assert(DocValidator.validate(uniq,
+      """{"xs":[{"a":1,"b":2},{"a":1,"b":3}]}"""))
+    // ...and numbers nested in containers compare by value too
+    assert(!DocValidator.validate(uniq, """{"xs":[[1],[1.0]]}"""))
+    assert(DocValidator.validate(uniq, """{"xs":[[1],["1"]]}"""))
+
     // a scalar check against a container value fails, never compares ""
     val const = DocValidator.compile(ConstraintSuite("c", Seq(
       ConstEq("eq", "meta", ""))))

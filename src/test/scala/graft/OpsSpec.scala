@@ -562,4 +562,27 @@ class OpsSpec extends SparkSpec {
     assert(feats.filter($"media_type" === "video")
       .filter($"frame_mean" <= 0.0).isEmpty)
   }
+
+  test("decontamination hits are invariant under exact-duplicate rows") {
+    import graft.ops.Decontaminate
+    val bench = Seq("alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("text")
+    // one contaminated doc, duplicated VERBATIM (same id + text) —
+    // the exact input shape the sibling dedup ops exist to find; hits
+    // must count distinct matched shingles, not joined rows, or the
+    // contained fraction doubles past 1.0
+    val docs = Seq(
+      ("c1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("c1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("ok", "completely unrelated words nothing shared with the benchmark set here"))
+      .toDF("id", "text")
+    val hits = Decontaminate.contaminationHits(
+      docs, "id", "text", bench, "text", k = 4).collect()
+    assert(hits.length == 1 && hits(0).getAs[String]("doc_id") == "c1")
+    val frac = hits(0).getAs[Double]("contained_frac")
+    assert(frac > 0.0 && frac <= 1.0, s"contained_frac out of range: $frac")
+    // 10-word doc, k=4 → 7 shingles; 8-word bench → 5 shingles, all in doc
+    assert(hits(0).getAs[Long]("n_hits") == 5L)
+    assert(hits(0).getAs[Int]("n_grams") == 7)
+  }
 }
