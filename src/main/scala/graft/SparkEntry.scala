@@ -50,6 +50,25 @@ object SparkEntry {
     ExprIs("nchars_len", "n_chars = length(text)",
       Some("concat(n_chars, ':', length(text))"), "n_chars == length(text)")))
 
+  /** Suite for the raw-JSON-document queries: the reference's literal
+    * instance shape (a JSON string per document) validated at table
+    * scale. Row-local only — the doc engine has no dataset scope. */
+  private val jsonDocSuite = ConstraintSuite("documents-json-v1", Seq(
+    NotNull("docid_nn", "doc_id"),
+    Bounds("nchars_max", "n_chars", None, Some(BigDecimal(400))),
+    IsIn("lang_known", "lang", Seq("en", "de", "fr", "es")),
+    LengthBounds("text_min", "text", Some(200), None),
+    Matches("src_shape", "source", "^src[0-9]+$"),
+    TypeIs("nchars_int", "n_chars", "integer")))
+
+  /** documents rendered as one raw JSON string per row (the JSONL
+    * corpus shape). */
+  private def jsonDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      F.col("doc_id").cast("string").as("id"),
+      F.to_json(F.struct(F.col("doc_id"), F.col("text"), F.col("lang"),
+        F.col("source"), F.col("n_chars"))).as("js"))
+
   /** Flagship: detail-path validation verdicts over documents at
     * sf0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
@@ -105,6 +124,33 @@ object SparkEntry {
       Validator.validateWithDetails(li, suite, Seq.empty, "_rid")
         .violations.select("doc_id", "instance_path", "expected")
         .orderBy("doc_id", "instance_path")
+    }),
+    "v_docjson" -> ((s, dir) => {
+      // the reference's LITERAL contract at table scale: each row is a
+      // raw JSON string, validated by the single-document engine inside
+      // a distributed map (suite compiled once on the driver, shipped
+      // in the closure). The oracle re-derives every verdict from the
+      // typed columns the JSON was rendered from — an independent path
+      // that checks render → parse → validate end-to-end.
+      val compiled = graft.exec.JsonValidator.compile(jsonDocSuite)
+      graft.exec.JsonValidator
+        .violations(jsonDocs(s, dir), "id", "js", compiled)
+        .orderBy("doc_id", "constraint_id")
+    }),
+    "v_docjson_typed" -> ((s, dir) => {
+      // same documents, same suite, SCHEMA-KNOWN lowering: one
+      // from_json projection onto typed columns, then the Catalyst
+      // engine (codegen). Shares v_docjson's oracle string — the two
+      // execution paths are pinned to identical results.
+      import org.apache.spark.sql.types._
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      graft.exec.JsonValidator
+        .violationsTyped(jsonDocs(s, dir), "id", "js", docSchema,
+          jsonDocSuite)
+        .orderBy("doc_id", "constraint_id")
     }),
     "v_unique" -> ((s, dir) => {
       val suite = ConstraintCompiler.compile(ConstraintSuite("u",
@@ -475,6 +521,36 @@ object SparkEntry {
     "(doc_id IS NOT NULL) AND (n_chars <= 400) AND " +
       "(lang IN ('en','de','fr','es')) AND (n_chars = length(text))"
 
+  /** Shared by v_docjson (doc-engine map) and v_docjson_typed
+    * (from_json + Catalyst): one oracle string pins both execution
+    * paths to identical results, re-derived from the TYPED columns the
+    * JSON was rendered from. `expected` texts are the compiler's own
+    * `expectedOf` renderings. */
+  private val docJsonOracle =
+    """SELECT * FROM (
+      |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+      |         'nchars_max' AS constraint_id,
+      |         'n_chars <= 400' AS expected
+      |  FROM documents WHERE n_chars > 400
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS VARCHAR), 'lang_known',
+      |         'lang in {en, de, fr, es}'
+      |  FROM documents
+      |  WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS VARCHAR), 'text_min',
+      |         'length(text) in [200, ∞]'
+      |  FROM documents WHERE text IS NOT NULL AND length(text) < 200
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS VARCHAR), 'src_shape',
+      |         'source matches /^src[0-9]+$/'
+      |  FROM documents
+      |  WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS VARCHAR), 'docid_nn', 'doc_id not null'
+      |  FROM documents WHERE doc_id IS NULL
+      |) ORDER BY doc_id, constraint_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "m_resize" ->
       """WITH px AS (SELECT x, y FROM range(0, 4) a(x), range(0, 4) b(y))
@@ -514,6 +590,8 @@ object SparkEntry {
         |         '/l_linestatus', 'l_linestatus matches /^[OF]$/'
         |  FROM lineitem WHERE NOT regexp_matches(l_linestatus, '^[OF]$')
         |) ORDER BY doc_id, instance_path""".stripMargin,
+    "v_docjson" -> docJsonOracle,
+    "v_docjson_typed" -> docJsonOracle,
     "v_violations" ->
       s"""SELECT * FROM (
          |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,

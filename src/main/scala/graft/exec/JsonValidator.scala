@@ -1,0 +1,131 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.compile.ConstraintCompiler
+import graft.dsl.ConstraintSuite
+import graft.exec.DocValidator.CompiledDocSuite
+import graft.registry.ConstraintRegistry
+
+/**
+ * Distributed validation of a column of RAW JSON STRINGS — the
+ * reference's literal instance shape (`BlazeValidator.java:14-16`: an
+ * instance IS a JSON string) projected onto tables. A raw JSONL corpus
+ * is the most common LLM-pipeline input; this is the operator that
+ * validates it without a pre-parse ETL step.
+ *
+ * Two execution paths, chosen by what the caller knows:
+ *
+ *  - **Schema-free** ([[verdicts]]/[[violations]]): the suite is
+ *    compiled ONCE on the driver ([[DocValidator.compile]] — the same
+ *    resolved AST as the Catalyst engine) and shipped in the task
+ *    closure; each task interprets it over Jackson trees at ~5 µs/doc.
+ *    Embarrassingly parallel: one narrow projection, no shuffle, scales
+ *    linearly to 10^12 rows. Handles documents whose shape is unknown
+ *    or heterogeneous (map-flavored keys, mixed types).
+ *  - **Schema-known** ([[violationsTyped]]): one `from_json` projection
+ *    lowers the column onto typed columns, then the CATALYST engine
+ *    validates (whole-stage codegen, short-circuit conjunction) — the
+ *    scale path when the document shape is fixed.
+ *
+ * Malformed input is a VIOLATION, never a crash — the reference maps
+ * any evaluation exception to `false` (`blaze_wrapper.cpp:140-146`);
+ * here a row that fails to parse (or a NULL document) yields verdict
+ * `false` / one violation against [[DocumentConstraint]].
+ */
+object JsonValidator {
+
+  /** Synthetic constraint id charged for unparseable / NULL documents. */
+  val DocumentConstraint = "_document"
+  private val DocumentExpected = "a valid JSON document"
+
+  def compile(suite: ConstraintSuite,
+      registry: ConstraintRegistry = ConstraintRegistry.empty): CompiledDocSuite =
+    DocValidator.compile(suite, registry)
+
+  /** Fast boolean path: one verdict row per input row —
+    * `(doc_id string, ok boolean)`. */
+  def verdicts(df: DataFrame, idCol: String, jsonCol: String,
+      compiled: CompiledDocSuite): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    pairs(df, idCol, jsonCol).mapPartitions { it =>
+      // compiled suite deserialized once per task, reused per row —
+      // the compile-once/validate-many contract at executor scope
+      it.map { case (id, js) => (id, check(compiled, js)) }
+    }.toDF("doc_id", "ok")
+  }
+
+  /** Detail path: `(doc_id, constraint_id, expected)` — one row per
+    * failing top-level constraint, with the compiler's own `expected`
+    * rendering (identical text to the Catalyst engine's violations). */
+  def violations(df: DataFrame, idCol: String, jsonCol: String,
+      compiled: CompiledDocSuite): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    pairs(df, idCol, jsonCol).mapPartitions { it =>
+      it.flatMap { case (id, js) =>
+        if (js == null)
+          Iterator((id, DocumentConstraint, DocumentExpected))
+        else try {
+          DocValidator.validateWithDetails(compiled, js).iterator
+            .map(v => (id, v.constraintId, v.expected))
+        } catch {
+          case _: IllegalArgumentException =>
+            Iterator((id, DocumentConstraint, DocumentExpected))
+        }
+      }
+    }.toDF("doc_id", "constraint_id", "expected")
+  }
+
+  /** Schema-known path: lower the JSON column onto typed columns with
+    * ONE `from_json` projection, then run the CATALYST engine — codegen
+    * predicates, the same verdict/violation semantics as validating a
+    * pre-parsed table. Unparseable rows (from_json → NULL struct while
+    * the source string is non-null) are charged to
+    * [[DocumentConstraint]], mirroring the schema-free path. */
+  def violationsTyped(df: DataFrame, idCol: String, jsonCol: String,
+      schema: StructType, suite: ConstraintSuite,
+      registry: ConstraintRegistry = ConstraintRegistry.empty): DataFrame = {
+    // PERMISSIVE from_json returns an ALL-NULL struct (not a null
+    // struct) for unparseable records — detection needs the corrupt-
+    // record column, which carries the raw text on parse failure
+    val corrupt = "_graft_corrupt"
+    require(!schema.fieldNames.contains(corrupt),
+      s"schema may not declare the reserved field $corrupt")
+    val withCorrupt = schema.add(StructField(corrupt, StringType))
+    val parsed = df.select(
+      F.col(idCol).cast("string").as("_doc_id"),
+      F.col(jsonCol).cast("string").as("_js"),
+      F.from_json(F.col(jsonCol).cast("string"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> corrupt)).as("_d"))
+    val badPred = F.col("_js").isNull || F.col("_d").isNull ||
+      F.col(s"_d.$corrupt").isNotNull
+    val malformed = parsed.filter(badPred)
+      .select(F.col("_doc_id").as("doc_id"),
+        F.lit(DocumentConstraint).as("constraint_id"),
+        F.lit(DocumentExpected).as("expected"))
+    val typedRows = parsed.filter(!badPred) // isNull/isNotNull never null
+      .select((F.col("_doc_id") +: schema.fieldNames.toSeq
+        .map(f => F.col(s"_d.$f").as(f))): _*)
+    val compiled = ConstraintCompiler.compile(suite, registry)
+    Validator.validateWithDetails(typedRows, compiled, Seq.empty, "_doc_id")
+      .violations
+      .select("doc_id", "constraint_id", "expected")
+      .unionAll(malformed)
+  }
+
+  private def pairs(df: DataFrame, idCol: String,
+      jsonCol: String): Dataset[(String, String)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(idCol).cast("string"), F.col(jsonCol).cast("string"))
+      .as[(String, String)]
+  }
+
+  private def check(suite: CompiledDocSuite, js: String): Boolean =
+    js != null && (try DocValidator.validate(suite, js)
+    catch { case _: IllegalArgumentException => false })
+}

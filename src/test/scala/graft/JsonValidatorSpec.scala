@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+import graft.dsl.Constraint._
+import graft.dsl.ConstraintSuite
+import graft.exec.JsonValidator
+
+/** Distributed raw-JSON-document validation: the reference's literal
+  * instance shape (a JSON string) at table scale — schema-free doc
+  * engine in a distributed map, and the from_json + Catalyst lowering,
+  * pinned to each other. */
+class JsonValidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val suite = ConstraintSuite("js", Seq(
+    NotNull("id_req", "doc_id"),
+    Bounds("n_max", "n_tok", None, Some(BigDecimal(100))),
+    IsIn("src", "source", Seq("web", "books")),
+    EachElement("toks", "tokens",
+      Bounds("t", "$", Some(BigDecimal(0)), Some(BigDecimal(9))))))
+
+  private val docs = Seq(
+    ("r1", """{"doc_id":"a","n_tok":5,"tokens":[1,2],"source":"web"}"""),
+    ("r2", """{"doc_id":"b","n_tok":500,"tokens":[1],"source":"web"}"""),
+    ("r3", """{"n_tok":5,"tokens":[1],"source":"books"}"""),
+    ("r4", """{"doc_id":"d","n_tok":5,"tokens":[1,99],"source":"mars"}"""),
+    ("r5", """this is not json at {{{"""),
+    ("r6", null.asInstanceOf[String]))
+    .toDF("id", "js").repartition(3)
+
+  test("schema-free path: verdicts and violations over raw JSON strings") {
+    val compiled = JsonValidator.compile(suite)
+    val v = JsonValidator.verdicts(docs, "id", "js", compiled)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(v == Map("r1" -> true, "r2" -> false, "r3" -> false,
+      "r4" -> false, "r5" -> false, "r6" -> false))
+
+    val viol = JsonValidator.violations(docs, "id", "js", compiled)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viol == Set(
+      ("r2", "n_max"), ("r3", "id_req"), ("r4", "src"), ("r4", "toks"),
+      ("r5", JsonValidator.DocumentConstraint),
+      ("r6", JsonValidator.DocumentConstraint)))
+  }
+
+  test("typed lowering agrees with the doc engine; malformed rows flagged") {
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("n_tok", IntegerType),
+      StructField("tokens", ArrayType(IntegerType)),
+      StructField("source", StringType)))
+    val typed = JsonValidator
+      .violationsTyped(docs, "id", "js", schema, suite)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val docEngine = JsonValidator
+      .violations(docs, "id", "js", JsonValidator.compile(suite))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(typed == docEngine)
+  }
+
+  test("round-trip: to_json of a typed table validates like the table") {
+    val base = Seq(
+      ("a", Seq(1, 2, 3), 3, "web"),
+      ("b", Seq(1, 2), 5, "web"),     // n_tok inconsistent but in range
+      ("c", Seq(120), 1, "books"))    // token out of range
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val js = base.select(F.col("doc_id").as("id"),
+      F.to_json(F.struct(F.col("doc_id"), F.col("tokens"),
+        F.col("n_tok"), F.col("source"))).as("js"))
+    val v = JsonValidator
+      .verdicts(js, "id", "js", JsonValidator.compile(suite))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(v == Map("a" -> true, "b" -> true, "c" -> false))
+  }
+}
