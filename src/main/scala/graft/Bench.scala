@@ -27,6 +27,34 @@ object Bench {
   private val MaxSpread = 1.5
   private val MaxRetries = 2
 
+  /** One timed run per SparkEntry query. A query that THROWS records
+    * `(name, -1.0, Some(error))` — never a silently-plausible elapsed
+    * time (round-3 verdict: a dying query must not look healthy in the
+    * bench artifact; CORRECTNESS catches wrongness, this catches
+    * breakage). */
+  private[graft] def measureQueries(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql
+        .DataFrame] = SparkEntry.queries): Seq[(String, Double, Option[String])] =
+    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        (name, (System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case e: Throwable =>
+          (name, -1.0,
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+      }
+    }
+
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -53,6 +81,7 @@ object Bench {
     // and JIT steady state is reached; small-row measurements
     // structurally understate the scalable rate.
     var allReps = Vector.empty[Double]
+    var lastBatch = Vector.empty[Double]
     var batch = 0
     var spread = Double.MaxValue
     while (batch == 0 ||
@@ -60,6 +89,7 @@ object Bench {
       val (_, _, times) = Scaling.validationThroughput(
         spark, cpus.toInt, nRows = HeadlineRows, reps = Reps)
       spread = times.max / times.min
+      lastBatch = times.toVector
       allReps ++= times
       batch += 1
       if (spread > MaxSpread && batch <= MaxRetries)
@@ -69,24 +99,27 @@ object Bench {
     val medianSec = Scaling.median(allReps)
     val seqPerSec = HeadlineRows / medianSec
     val finalSpread = allReps.max / allReps.min
+    // the FINAL batch is the one the retry loop accepted — its median/
+    // spread are the protocol's acceptance numbers; the pooled stats
+    // above keep every rep visible (a pooled spread > 1.5 with a clean
+    // final batch means earlier batches hit ambient load, not the run)
+    val cleanMedianSec = Scaling.median(lastBatch)
+    val cleanSpread = lastBatch.max / lastBatch.min
 
     // ---- per-query suite times ---------------------------------------
     // warm the JVM/codegen once with the cheapest query
     try SparkEntry.queries("t_tokens")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results = measureQueries(spark, sfDir)
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + jsonEscape(e) + "\"" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
     val reps = allReps.map(t => f"$t%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validation_seq_per_sec":$seqPerSec%.0f,"validation_rows":$HeadlineRows,"validation_rep_sec":$reps,"validation_median_sec":$medianSec%.3f,"validation_spread":$finalSpread%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir","validation_seq_per_sec":$seqPerSec%.0f,"validation_rows":$HeadlineRows,"validation_rep_sec":$reps,"validation_median_sec":$medianSec%.3f,"validation_spread":$finalSpread%.2f,"clean_batch_median_sec":$cleanMedianSec%.3f,"clean_batch_spread":$cleanSpread%.2f,"clean_batch_seq_per_sec":${HeadlineRows / cleanMedianSec}%.0f}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()

@@ -56,6 +56,27 @@ object ConnectedComponents {
         (F.col("doc_id") === F.col("group_id")).as("keep"))
   }
 
+  /**
+   * TOTAL assignment over a corpus: every corpus id gets a row —
+   * members of a duplicate component carry its group minimum, documents
+   * that appear in no pair are their own singleton group (`keep` true).
+   * This is [[groups]] plus the corpus left-join that every caller was
+   * otherwise expected to remember (the keep/drop decision of a dedup
+   * pipeline is total by definition). One broadcast-or-shuffle hash
+   * join keyed on the id — no extra pass over `pairs`.
+   */
+  def totalAssignment(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    val g = groups(pairs, idA, idB, maxIter)
+    corpus.select(F.col(idCol).cast("string").as("doc_id")).distinct()
+      .join(g, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("group_id"), F.col("doc_id")).as("group_id"),
+        F.coalesce(F.col("keep"),
+          F.lit(true)).as("keep"))
+  }
+
   /** Non-root edges `(doc_id, group_id)` at convergence (roots are the
     * `group_id` side only). */
   private def roots(pairs: DataFrame, idA: String, idB: String,

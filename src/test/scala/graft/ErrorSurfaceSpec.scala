@@ -101,4 +101,19 @@ class ErrorSurfaceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("batch path"))
   }
+
+  test("bench records a per-query err for a dying query, not a time") {
+    // round-3 verdict: `catch → -1L` made a crashing query look like a
+    // plausible small number in BENCH_LOCAL.json; the artifact must
+    // carry the error
+    val rows = Bench.measureQueries(spark, "/nonexistent", Map(
+      "good" -> ((s: org.apache.spark.sql.SparkSession, _: String) =>
+        s.range(3).toDF("n")),
+      "broken" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        s.read.parquet(s"$dir/no_such_table.parquet"))))
+    val byName = rows.map(r => r._1 -> r).toMap
+    assert(byName("good")._2 > 0.0 && byName("good")._3.isEmpty)
+    assert(byName("broken")._2 == -1.0)
+    assert(byName("broken")._3.exists(_.nonEmpty))
+  }
 }

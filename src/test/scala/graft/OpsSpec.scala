@@ -140,6 +140,22 @@ class OpsSpec extends SparkSpec {
       Seq.empty[(String, String)].toDF("id_a", "id_b")).isEmpty)
   }
 
+  test("connected components: totalAssignment covers singletons") {
+    import graft.ops.ConnectedComponents
+    // corpus with documents that appear in NO pair: the total
+    // assignment makes them their own kept group — API, not caller
+    // folklore (round-3 verdict's foot-gun)
+    val corpus = Seq("a", "b", "c", "lonely1", "lonely2").toDF("id")
+    val pairs = Seq(("b", "a"), ("c", "b")).toDF("id_a", "id_b")
+    val total = ConnectedComponents.totalAssignment(corpus, "id", pairs)
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(total == Map(
+      "a" -> (("a", true)), "b" -> (("a", false)), "c" -> (("a", false)),
+      "lonely1" -> (("lonely1", true)), "lonely2" -> (("lonely2", true))))
+  }
+
   test("connected components: 10k-star dedup group stays one group") {
     import graft.ops.ConnectedComponents
     // the shape bucketedPairs emits for a degenerate bucket: star pairs
