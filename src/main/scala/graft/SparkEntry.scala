@@ -319,6 +319,24 @@ object SparkEntry {
           minCosine = 0.999, planes = 12)
         .orderBy("id_a", "id_b")
     }),
+    "d_substr" -> ((s, dir) => {
+      // exact substring (shared 16-word-run) dedup over documents plus
+      // planted composites that EMBED the first 20 words of each source
+      // doc inside different surroundings — the Lee-et-al modality at
+      // word granularity. The oracle brute-forces every pair's distinct
+      // shared 16-grams from the same construction.
+      val d = docs(s, dir).select(F.col("doc_id"), F.col("text"))
+        .filter(F.col("doc_id") < 100)
+      val w = F.split(F.trim(F.col("text")), "\\s+")
+      val planted = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 3000000).as("doc_id"),
+        F.concat(F.lit("prelude tokens before the copied span "),
+          F.array_join(F.slice(w, 1, 20), " "),
+          F.lit(" trailing padding after the span")).as("text"))
+      Dedup.substringPairs(d.unionAll(planted), "doc_id", "text",
+          runWords = 16, shingleK = 8)
+        .orderBy("id_a", "id_b")
+    }),
     "d_ngram" -> ((s, dir) => {
       val d = docs(s, dir)
       val ids = d.filter(F.col("doc_id") < 20)
@@ -685,6 +703,30 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_dups,
         |  MIN(CAST(doc_id AS VARCHAR)) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "d_substr" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id, text
+        |  FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 3000000 AS VARCHAR),
+        |    'prelude tokens before the copied span ' ||
+        |    array_to_string(
+        |      (regexp_split_to_array(trim(text), '\s+'))[1:20], ' ') ||
+        |    ' trailing padding after the span'
+        |  FROM documents WHERE doc_id < 30),
+        |g AS (
+        |  SELECT id, list_distinct(list_transform(range(1, len(w) - 14),
+        |      i -> array_to_string(w[i:i+15], ' '))) AS grams
+        |  FROM (SELECT id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM corpus)
+        |  WHERE len(w) >= 16)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS INTEGER)
+        |    AS n_shared_runs
+        |FROM g a, g b
+        |WHERE a.id < b.id AND len(list_intersect(a.grams, b.grams)) >= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "d_ngram" ->
       """WITH g AS (
         |  SELECT CAST(doc_id AS VARCHAR) AS id,

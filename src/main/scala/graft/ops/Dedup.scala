@@ -249,6 +249,69 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Exact substring (shared token-run) dedup
+  // ------------------------------------------------------------------
+
+  /**
+   * Pairs of documents sharing at least one EXACT run of `runWords`
+   * consecutive words (lowercased, whitespace-split) — the substring-
+   * dedup modality of Lee et al. 2022 ("Deduplicating Training Data
+   * Makes Language Models Better", arXiv:2107.06499: exact duplicate
+   * token spans, there via a suffix array), re-shaped for Spark:
+   *
+   *  1. winnowed fingerprints ([[graft.functions.WinnowedMins]] over
+   *     `shingleK`-gram rolling hashes, window w = runWords−shingleK+1)
+   *     select ~2/(w+1) of each document's positions content-defined,
+   *     with the winnowing guarantee that any shared run of
+   *     ≥ w+shingleK−1 = runWords words yields a common fingerprint —
+   *     recall-lossless sparsification, no suffix array needed;
+   *  2. fingerprint buckets emit capped candidate pairs
+   *     ([[bucketedPairs]]: linear under boilerplate);
+   *  3. exact verify: intersect the pairs' DISTINCT runWords-gram hash
+   *     sets — `n_shared_runs` = number of distinct shared runs ≥ 1,
+   *     so precision is exact too (a fingerprint shared via a run
+   *     shorter than `runWords` is filtered here).
+   *
+   * Documents with fewer than `runWords` words cannot contain such a
+   * run and are excluded. Output: `(id_a, id_b, n_shared_runs)`,
+   * `id_a < id_b` in string order.
+   *
+   * Scale shape at 10^12 docs: one scan computes both gram arrays; only
+   * winnowed fingerprints (~2/(w+1) per position) are exploded into the
+   * pairing shuffle; the run-hash arrays join back ONLY for surviving
+   * candidates — corpus text never shuffles.
+   */
+  def substringPairs(df: DataFrame, idCol: String, textCol: String,
+      runWords: Int = 16, shingleK: Int = 8,
+      maxBucket: Int = 256): DataFrame = {
+    require(runWords >= shingleK,
+      "runWords must be >= shingleK (the window is runWords-shingleK+1)")
+    val w = runWords - shingleK + 1
+    val words = F.split(F.trim(F.lower(F.col("_text"))), "\\s+")
+    val base = df
+      .select(F.col(idCol).cast("string").as("doc_id"),
+        F.col(textCol).as("_text"))
+      .filter(F.col("_text").isNotNull && F.size(words) >= runWords)
+    val fps = base.select(F.col("doc_id"),
+      F.explode(graft.functions.WinnowedMins(
+        graft.functions.ShingleHashes(words, shingleK), w)).as("_fp"))
+    val cands = bucketedPairs(fps, Seq("_fp"), "doc_id", Seq.empty,
+      maxBucket)
+      .select("id_a", "id_b").distinct()
+    val runs = base.select(F.col("doc_id"), F.array_distinct(
+      graft.functions.ShingleHashes(words, runWords)).as("_runs"))
+    cands
+      .join(runs.select(F.col("doc_id").as("id_a"),
+        F.col("_runs").as("_ra")), Seq("id_a"))
+      .join(runs.select(F.col("doc_id").as("id_b"),
+        F.col("_runs").as("_rb")), Seq("id_b"))
+      .withColumn("n_shared_runs",
+        F.size(F.array_intersect(F.col("_ra"), F.col("_rb"))))
+      .filter(F.col("n_shared_runs") >= 1)
+      .select("id_a", "id_b", "n_shared_runs")
+  }
+
+  // ------------------------------------------------------------------
   // Embedding-cosine near-dup
   // ------------------------------------------------------------------
 

@@ -120,7 +120,11 @@ class FunctionsSpec extends SparkSpec {
         graft.functions.HyperplaneBucket(
           F.transform($"arr", x => x.cast("double")), 3, 4, 42L).as("hb1"),
         graft.functions.HyperplaneBucket(
-          F.transform($"arr", x => x.cast("double")), 3, 4, 7L).as("hb2"))
+          F.transform($"arr", x => x.cast("double")), 3, 4, 7L).as("hb2"),
+        graft.functions.WinnowedMins(
+          graft.functions.ShingleHashes(words, 2), 3).as("wm1"),
+        graft.functions.WinnowedMins(
+          graft.functions.ShingleHashes(words, 2), 2).as("wm2"))
       assert(twice.collect().length == 2)
 
       // the original trigger: the same predicate under sum(when) AND
@@ -139,6 +143,35 @@ class FunctionsSpec extends SparkSpec {
       val executed = verdict.queryExecution.executedPlan.toString
       assert(executed.contains("*("), executed)
     }
+  }
+
+  test("winnowed mins: sliding-window minima, distinct, guarantee holds") {
+    import graft.functions.WinnowedMins
+    val arrs = Seq(
+      ("a", Seq(5L, 3L, 8L, 1L, 9L, 2L)),
+      ("short", Seq(7L, 4L)),   // shorter than w → single global min
+      ("empty", Seq.empty[Long]))
+      .toDF("id", "h")
+    val got = arrs.select($"id", WinnowedMins($"h", 3).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // windows of 3 over (5,3,8,1,9,2): mins 3,1,1,1 → distinct {1,3}
+    assert(got("a") == Seq(1L, 3L))
+    assert(got("short") == Seq(4L))
+    assert(got("empty") == Seq.empty)
+
+    // the winnowing guarantee, end to end: equal runs of w+k-1 tokens
+    // share a selected fingerprint whatever surrounds them
+    val k = 2; val w = 3
+    val shared = "alpha beta gamma delta epsilon" // 5 words = w+k-1+1
+    val docs = Seq(
+      ("x", s"one two three $shared xx yy"),
+      ("y", s"$shared completely different tail here"))
+      .toDF("id", "text")
+    val words = F.split(F.lower($"text"), "\\s+")
+    val fps = docs.select($"id", F.explode(WinnowedMins(
+      graft.functions.ShingleHashes(words, k), w)).as("fp"))
+    val common = fps.groupBy("fp").count().filter($"count" > 1)
+    assert(common.count() >= 1)
   }
 
   test("compiler routes EachElement+Bounds through the fast path") {

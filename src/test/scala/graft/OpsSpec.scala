@@ -579,6 +579,45 @@ class OpsSpec extends SparkSpec {
       .filter($"frame_mean" <= 0.0).isEmpty)
   }
 
+  test("substring dedup: planted shared runs found, short overlaps rejected") {
+    // 24-word base text; d_embed copies words 3..18 (a 16-word run)
+    // into different surroundings; d_short shares only an 8-word run
+    val baseWords = (1 to 24).map(i => s"w$i").mkString(" ")
+    val run16 = (3 to 18).map(i => s"w$i").mkString(" ")
+    val run8 = (3 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("d1", baseWords),
+      ("d2", s"intro words here then $run16 and some trailing padding words appended"),
+      ("d3", s"prefix padding tokens a b c d e $run8 x y z q r s t u v"),
+      ("d4", (101 to 130).map(i => s"v$i").mkString(" ")))
+      .toDF("id", "text")
+    val pairs = graft.ops.Dedup
+      .substringPairs(docs, "id", "text", runWords = 16, shingleK = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getInt(2)).toMap
+    // d1–d2 share runs of exactly 16 consecutive words: the 16-gram
+    // windows inside the shared span = 1 (span length 16)
+    assert(pairs.keySet == Set(("d1", "d2")))
+    assert(pairs(("d1", "d2")) == 1)
+
+    // longer shared span → more shared 16-gram windows (span 20 → 5)
+    val run20 = (3 to 22).map(i => s"w$i").mkString(" ")
+    val docs2 = Seq(
+      ("a1", baseWords),
+      ("a2", s"lead tokens $run20 tail bits end"))
+      .toDF("id", "text")
+    val p2 = graft.ops.Dedup
+      .substringPairs(docs2, "id", "text", runWords = 16, shingleK = 8)
+      .collect()
+    assert(p2.length == 1 && p2(0).getInt(2) == 5)
+
+    // docs shorter than the run are excluded, not crashed on
+    val short = Seq(("s1", "one two three"), ("s2", "one two three"))
+      .toDF("id", "text")
+    assert(graft.ops.Dedup
+      .substringPairs(short, "id", "text", runWords = 16).isEmpty)
+  }
+
   test("decontamination hits are invariant under exact-duplicate rows") {
     import graft.ops.Decontaminate
     val bench = Seq("alpha beta gamma delta epsilon zeta eta theta")
