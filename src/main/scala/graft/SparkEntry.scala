@@ -502,6 +502,33 @@ object SparkEntry {
           F.col("byte_len"))
         .orderBy("doc_id")
     }),
+    "m_png" -> ((s, dir) => {
+      // the SAME pixel pipeline as m_resize, but round-tripped through
+      // a REAL PNG: zlib-deflated IDAT, filter types cycling 0..4 across
+      // rows, CRC-checked chunks — decoded back to raw RGB by
+      // PngCodec (Inflater + unfiltering, pure JVM), then resized and
+      // feature-extracted. Shares m_resize's oracle string: any
+      // filter/inflate bug breaks the pixel hash.
+      import s.implicits._
+      import graft.ops.{PngCodec, RawImage}
+      docs(s, dir).filter(F.col("doc_id") < 150)
+        .select(F.col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (8 + id % 8).toInt
+          val h = (8 + (id * 3) % 8).toInt
+          val png = PngCodec.encode(w, h, (x, y) =>
+            (((id + x) % 256).toInt, ((id * 3 + y) % 256).toInt,
+              (x + y) % 256))
+          val img = PngCodec.decode(png).get
+          val small = RawImage.resizeNearest(img, 4, 4)
+          val (mr, mg, mb) = RawImage.meanRgb(small)
+          (id.toString, small.width, small.height,
+            math.rint(mr * 1e6) / 1e6, math.rint(mg * 1e6) / 1e6,
+            math.rint(mb * 1e6) / 1e6)
+        }
+        .toDF("doc_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
+        .orderBy("doc_id")
+    }),
     "m_resize" -> ((s, dir) => {
       // REAL pixel resize: raw-bitmap (PPM P6) images built with
       // doc-derived pixel formulas, round-tripped through the parser,
@@ -569,9 +596,10 @@ object SparkEntry {
       |  FROM documents WHERE doc_id IS NULL
       |) ORDER BY doc_id, constraint_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
-    "m_resize" ->
-      """WITH px AS (SELECT x, y FROM range(0, 4) a(x), range(0, 4) b(y))
+  /** Shared by m_resize (raw PPM) and m_png (real PNG round-trip):
+    * identical pixel formulas, so one oracle pins both pipelines. */
+  private val resizeOracle =
+    """WITH px AS (SELECT x, y FROM range(0, 4) a(x), range(0, 4) b(y))
         |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
         |  CAST(4 AS INTEGER) AS out_w, CAST(4 AS INTEGER) AS out_h,
         |  ROUND((SELECT AVG(CAST(
@@ -584,7 +612,11 @@ object SparkEntry {
         |      ((x * (8 + doc_id % 8)) // 4
         |       + (y * (8 + (doc_id * 3) % 8)) // 4) % 256 AS DOUBLE))
         |    FROM px), 6) AS mean_b
-        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "m_resize" -> resizeOracle,
+    "m_png" -> resizeOracle,
     "v_import" ->
       """SELECT * FROM (
         |  SELECT CAST(l_orderkey AS VARCHAR) || '-' ||

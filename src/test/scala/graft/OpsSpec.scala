@@ -558,6 +558,53 @@ class OpsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("png codec: real pixel round-trip through zlib + all 5 filters") {
+    import graft.ops.{ImageHeaders, PngCodec, RawImage}
+    def pix(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 7 + y) % 256, (y * 13 + x) % 256, (x * y + 3) % 256)
+
+    // default encoder cycles filter types 0..4 across rows; every
+    // unfilter path participates in one image
+    val png = PngCodec.encode(11, 9, pix)
+    val img = PngCodec.decode(png).get
+    assert(img.width == 11 && img.height == 9)
+    for (y <- 0 until 9; x <- 0 until 11)
+      assert(img.pixel(x, y) == pix(x, y), s"pixel ($x,$y)")
+    // header parser agrees on dims; Ppm ops compose on decoded pixels
+    assert(ImageHeaders.parsePng(png).get ==
+      ImageHeaders.Dims("png", 11, 9))
+    val small = RawImage.resizeNearest(img, 4, 4)
+    assert(small.width == 4 && small.height == 4)
+    assert(small.pixel(0, 0) == pix(0, 0))
+
+    // each filter type alone round-trips too
+    for (ft <- 0 to 4) {
+      val one = PngCodec.decode(PngCodec.encode(5, 4, pix, _ => ft)).get
+      for (y <- 0 until 4; x <- 0 until 5)
+        assert(one.pixel(x, y) == pix(x, y), s"filter $ft ($x,$y)")
+    }
+  }
+
+  test("png codec: malformed inputs decode to None, never throw") {
+    import graft.ops.PngCodec
+    val good = PngCodec.encode(8, 8, (x, y) => (x, y, x + y))
+    assert(PngCodec.decode(good).isDefined)
+    // truncations at every length
+    for (cut <- 0 until good.length by 7)
+      assert(PngCodec.decode(good.take(cut)).isEmpty, s"cut=$cut")
+    // corrupt one IDAT byte → CRC mismatch
+    val flipped = good.clone()
+    flipped(good.length - 20) = (flipped(good.length - 20) ^ 0x5a).toByte
+    assert(PngCodec.decode(flipped).isEmpty)
+    // unsupported shape (header-only build: no IDAT at all)
+    assert(PngCodec.decode(
+      graft.ops.ImageHeaders.buildPng(4, 4)).isEmpty)
+    // decompression cap: a huge declared image refuses, no OOM
+    assert(PngCodec.decode(good, maxPixels = 16L).isEmpty)
+    assert(PngCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(PngCodec.decode("not a png at all".getBytes).isEmpty)
+  }
+
   test("multimodal: stub decode plumbing preserves schema and batches") {
     val media = Multimodal.synthetic(spark, 300L, numPartitions = 4)
     val feats = Multimodal.extractFeatures(media)
