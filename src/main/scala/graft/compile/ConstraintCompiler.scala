@@ -86,13 +86,21 @@ object ConstraintCompiler {
     * — the shared front half of [[compile]], also consumed by the
     * single-document evaluator ([[graft.exec.DocValidator]]), which
     * interprets the resolved AST directly. */
+  /** Default unroll budget for recursive ref chains that make data
+    * progress (see [[resolveRefs]]): deep enough for any realistic
+    * document nesting, small enough that the inlined tree stays
+    * bounded. */
+  val DefaultMaxUnroll = 16
+
   def resolve(suite: ConstraintSuite,
-      registry: ConstraintRegistry = ConstraintRegistry.empty): ConstraintSuite =
-    resolveUnevaluated(resolveRefs(suite, registry))
+      registry: ConstraintRegistry = ConstraintRegistry.empty,
+      maxUnroll: Int = DefaultMaxUnroll): ConstraintSuite =
+    resolveUnevaluated(resolveRefs(suite, registry, maxUnroll))
 
   def compile(suite: ConstraintSuite,
-      registry: ConstraintRegistry = ConstraintRegistry.empty): CompiledSuite = {
-    val resolved = resolve(suite, registry)
+      registry: ConstraintRegistry = ConstraintRegistry.empty,
+      maxUnroll: Int = DefaultMaxUnroll): CompiledSuite = {
+    val resolved = resolve(suite, registry, maxUnroll)
     // A whole-suite Ref inlines its target as an AllOf — if the target
     // carried dataset-level constraints they would sit inside a
     // "row-local" conjunction and crash the lowering. Hoist them back to
@@ -153,14 +161,28 @@ object ConstraintCompiler {
   // declares and defines the anchor. Static inlining makes this exact:
   // each inline site is reached through precisely one chain of entered
   // suites, and that chain IS the dynamic scope at evaluation time.
-  // 2019-09's `$recursiveRef` is the one-anchor special case. Recursive
-  // chains (a schema re-entered while still being inlined) raise the
-  // descriptive cycle error — data nesting is bounded by the Spark column
-  // type, so recursive schemas must be unrolled to that depth.
+  // 2019-09's `$recursiveRef` is the one-anchor special case.
+  //
+  // RECURSIVE chains (a schema re-entered while still being inlined)
+  // split on DATA PROGRESS:
+  //  - re-entry at the same container depth (e.g. `{"$ref": "#self"}`
+  //    with no array/map/property drill in between) consumes no input
+  //    nesting — genuinely unbounded, and raises the descriptive cycle
+  //    error exactly as before;
+  //  - re-entry BELOW at least one container boundary consumes one
+  //    level of instance nesting per round, so it UNROLLS up to
+  //    `maxUnroll` levels. At the cut the residual is a fail-closed
+  //    `BoolSchema(false)`: instance data nested deeper than the unroll
+  //    budget is INVALID — never silently accepted. Every cut site sits
+  //    under a container check, so documents shallower than the budget
+  //    never reach it and validate exactly. For the Catalyst engine
+  //    choose `maxUnroll` = the bound column type's nesting depth (a
+  //    StructType is finite, so the depth is statically known); the
+  //    document engine's default budget covers any realistic JSON.
   // ------------------------------------------------------------------
 
-  private def resolveRefs(
-      suite: ConstraintSuite, reg: ConstraintRegistry): ConstraintSuite = {
+  private def resolveRefs(suite: ConstraintSuite, reg: ConstraintRegistry,
+      maxUnroll: Int): ConstraintSuite = {
 
     def findFragment(root: ConstraintSuite, cid: String): Option[Constraint] = {
       var found: Option[Constraint] = None
@@ -191,27 +213,51 @@ object ConstraintCompiler {
 
     // `visiting` keys on RESOLVED identity (suite or suite#fragment) so
     // same-named self-fragments in different suites don't false-cycle;
+    // per key it records (container depth at last entry, entries so
+    // far): same-depth re-entry = no data progress = cycle error;
+    // deeper re-entry unrolls until `maxUnroll`, then cuts fail-closed.
     // `scope` is the dynamic scope — suites entered so far, outermost
-    // first; `lexical` is the suite whose body is being walked.
-    def go(c: Constraint, visiting: Set[String],
+    // first; `lexical` is the suite whose body is being walked;
+    // `cdepth` counts container boundaries (array-element / map-value /
+    // key scopes) crossed so far.
+    final case class Entry(depthAtEntry: Int, times: Int)
+    def go(c: Constraint, visiting: Map[String, Entry],
         scope: List[ConstraintSuite],
-        lexical: ConstraintSuite): Constraint = {
+        lexical: ConstraintSuite, cdepth: Int): Constraint = {
       def enter(t: ConstraintSuite): List[ConstraintSuite] =
         if (scope.exists(_.id == t.id)) scope else scope :+ t
+      // cycle/unroll policy for a (dynamic)ref about to inline `key`:
+      // None = emit the fail-closed cut instead of recursing
+      def admit(key: String, name: String,
+          dynamic: Boolean): Option[Map[String, Entry]] =
+        visiting.get(key) match {
+          case Some(Entry(d, _)) if d == cdepth =>
+            throw new CompileException(
+              s"Schema compilation failed: cyclic ref '$name'" +
+                (if (dynamic) " (recursive $dynamicRef with no " +
+                  "container boundary between entries — consumes no " +
+                  "instance nesting, cannot terminate)"
+                 else ""))
+          case Some(Entry(_, n)) if n >= maxUnroll => None
+          case Some(Entry(_, n)) =>
+            Some(visiting + (key -> Entry(cdepth, n + 1)))
+          case None => Some(visiting + (key -> Entry(cdepth, 1)))
+        }
       c match {
         case Ref(id, name) =>
           val (t, frag) = target(name, lexical)
           val key = frag.fold(t.id)(cid => s"${t.id}#$cid")
-          if (visiting.contains(key))
-            throw new CompileException(
-              s"Schema compilation failed: cyclic ref '$name'")
-          // A referenced suite/fragment inlines as the conjunction of its
-          // constraints, re-rooted under the Ref's own id.
-          val body = frag match {
-            case None      => t.constraints
-            case Some(cid) => Seq(fragment(t, cid, name))
+          admit(key, name, dynamic = false) match {
+            case None => BoolSchema(id, value = false) // fail-closed cut
+            case Some(v2) =>
+              // A referenced suite/fragment inlines as the conjunction
+              // of its constraints, re-rooted under the Ref's own id.
+              val body = frag match {
+                case None      => t.constraints
+                case Some(cid) => Seq(fragment(t, cid, name))
+              }
+              AllOf(id, body.map(go(_, v2, enter(t), t, cdepth)))
           }
-          AllOf(id, body.map(go(_, visiting + key, enter(t), t)))
         case DynamicRef(id, name) =>
           if (!name.contains('#') || name.endsWith("#"))
             throw new CompileException("Schema compilation failed: " +
@@ -224,50 +270,58 @@ object ConstraintCompiler {
               s.dynamicAnchors.contains(anchor) &&
                 findFragment(s, anchor).isDefined).getOrElse(lexT)
           val key = s"${chosen.id}#$anchor"
-          if (visiting.contains(key))
-            throw new CompileException(
-              s"Schema compilation failed: cyclic ref '$name' " +
-                "(recursive $dynamicRef — unroll to the column's " +
-                "nesting depth)")
-          AllOf(id, Seq(go(fragment(chosen, anchor, name),
-            visiting + key, enter(chosen), chosen)))
+          admit(key, name, dynamic = true) match {
+            case None => BoolSchema(id, value = false) // fail-closed cut
+            case Some(v2) =>
+              AllOf(id, Seq(go(fragment(chosen, anchor, name),
+                v2, enter(chosen), chosen, cdepth)))
+          }
         case Defs(id, _) =>
           // definitions assert nothing; fragments inside them resolve
           // against the ORIGINAL suites, so the body need not survive
           BoolSchema(id, true)
-        case AllOf(id, cs) => AllOf(id, cs.map(go(_, visiting, scope, lexical)))
-        case AnyOf(id, cs) => AnyOf(id, cs.map(go(_, visiting, scope, lexical)))
-        case OneOf(id, cs) => OneOf(id, cs.map(go(_, visiting, scope, lexical)))
-        case Not(id, c0)   => Not(id, go(c0, visiting, scope, lexical))
+        case AllOf(id, cs) =>
+          AllOf(id, cs.map(go(_, visiting, scope, lexical, cdepth)))
+        case AnyOf(id, cs) =>
+          AnyOf(id, cs.map(go(_, visiting, scope, lexical, cdepth)))
+        case OneOf(id, cs) =>
+          OneOf(id, cs.map(go(_, visiting, scope, lexical, cdepth)))
+        case Not(id, c0) => Not(id, go(c0, visiting, scope, lexical, cdepth))
         case IfThen(id, i, t, e) =>
-          IfThen(id, go(i, visiting, scope, lexical),
-            go(t, visiting, scope, lexical),
-            e.map(go(_, visiting, scope, lexical)))
+          IfThen(id, go(i, visiting, scope, lexical, cdepth),
+            go(t, visiting, scope, lexical, cdepth),
+            e.map(go(_, visiting, scope, lexical, cdepth)))
         case EachElement(id, col, e) =>
-          EachElement(id, col, go(e, visiting, scope, lexical))
+          EachElement(id, col, go(e, visiting, scope, lexical, cdepth + 1))
         case EachElementFrom(id, col, st, e) =>
-          EachElementFrom(id, col, st, go(e, visiting, scope, lexical))
+          EachElementFrom(id, col, st,
+            go(e, visiting, scope, lexical, cdepth + 1))
         case EachKey(id, col, e) =>
-          EachKey(id, col, go(e, visiting, scope, lexical))
+          EachKey(id, col, go(e, visiting, scope, lexical, cdepth + 1))
         case ContainsCount(id, col, e, mn, mx) =>
-          ContainsCount(id, col, go(e, visiting, scope, lexical), mn, mx)
+          ContainsCount(id, col,
+            go(e, visiting, scope, lexical, cdepth + 1), mn, mx)
         case PrefixItems(id, col, es) =>
-          PrefixItems(id, col, es.map(go(_, visiting, scope, lexical)))
+          PrefixItems(id, col,
+            es.map(go(_, visiting, scope, lexical, cdepth + 1)))
         case PropertyValues(id, col, k, e) =>
-          PropertyValues(id, col, k, go(e, visiting, scope, lexical))
+          PropertyValues(id, col, k,
+            go(e, visiting, scope, lexical, cdepth + 1))
         case PatternValues(id, col, p, e) =>
-          PatternValues(id, col, p, go(e, visiting, scope, lexical))
+          PatternValues(id, col, p,
+            go(e, visiting, scope, lexical, cdepth + 1))
         case UnevaluatedItems(id, col, e) =>
-          UnevaluatedItems(id, col, go(e, visiting, scope, lexical))
+          UnevaluatedItems(id, col,
+            go(e, visiting, scope, lexical, cdepth + 1))
         case UnevaluatedProperties(id, col, e, ks, ps) =>
           UnevaluatedProperties(id, col,
-            go(e, visiting, scope, lexical), ks, ps)
+            go(e, visiting, scope, lexical, cdepth + 1), ks, ps)
         case other => other
       }
     }
     ConstraintSuite(suite.id,
       suite.constraints.filterNot(_.isInstanceOf[Defs])
-        .map(go(_, Set(suite.id), List(suite), suite)),
+        .map(go(_, Map(suite.id -> Entry(0, 1)), List(suite), suite, 0)),
       suite.dynamicAnchors)
   }
 

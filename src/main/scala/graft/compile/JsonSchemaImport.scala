@@ -32,7 +32,11 @@ import graft.dsl.{Constraint, ConstraintSuite}
  * trio. `$ref`/`$defs`(/legacy `definitions`)/`$anchor` are resolved by
  * INLINING at the reference site — JSON Schema definitions are
  * location-independent, so the same def lands on whatever path the ref
- * site sits at; cycles raise a descriptive error. `$dynamicRef`
+ * site sits at. RECURSIVE refs that consume instance nesting (the ref
+ * re-enters below a container/property boundary) unroll to `maxUnroll`
+ * levels and then cut FAIL-CLOSED (deeper instances are invalid, never
+ * silently accepted); a ref re-entered at the same instance depth
+ * cannot terminate and raises a descriptive error. `$dynamicRef`
  * resolves like `$ref` here (a single imported document has the trivial
  * dynamic scope; cross-suite override chains use the DSL's DynamicRef
  * directly). Annotation keywords are ignored; any UNRECOGNIZED
@@ -72,7 +76,8 @@ object JsonSchemaImport {
     * does not constrain a string instance) instead of raising an ANSI
     * cast error on string columns. */
   def translate(schemaJson: String, suiteId: String = null,
-      typedColumns: Boolean = true): ConstraintSuite = {
+      typedColumns: Boolean = true,
+      maxUnroll: Int = ConstraintCompiler.DefaultMaxUnroll): ConstraintSuite = {
     val root =
       try mapper.readTree(schemaJson)
       catch {
@@ -139,9 +144,16 @@ object JsonSchemaImport {
     }
 
     /** Lower subschema `s` applied at column path `path` ("" = the row:
-      * only object-with-properties is meaningful there). */
+      * only object-with-properties is meaningful there). `refs` tracks
+      * in-flight `$ref` inlining as name → (instance depth at last
+      * entry, entries so far); `depth` counts instance-nesting
+      * boundaries crossed (element scopes and struct property drills).
+      * Re-entering a ref at the SAME depth consumes no instance nesting
+      * — genuinely unbounded, refused; re-entry deeper UNROLLS up to
+      * `maxUnroll`, then cuts to a fail-closed `false` schema (data
+      * nested past the budget is invalid, never silently accepted). */
     def lower(s: JsonNode, path: String,
-        refStack: List[String]): Seq[Constraint] = {
+        refs: Map[String, (Int, Int)], depth: Int): Seq[Constraint] = {
       if (s.isBoolean)
         return if (s.asBoolean()) Nil
         else Seq(BoolSchema(fresh(path, "false"), value = false))
@@ -161,10 +173,18 @@ object JsonSchemaImport {
       Seq("$ref", "$dynamicRef").foreach { kw =>
         Option(s.get(kw)).foreach { r =>
           val ref = r.asText()
-          if (refStack.contains(ref))
-            throw new ImportException(s"cyclic ref '$ref' — recursive " +
-              "schemas must be unrolled to the column's nesting depth")
-          out += allOfWrap(path, lower(resolveRef(ref), path, ref :: refStack))
+          refs.get(ref) match {
+            case Some((d, _)) if d == depth =>
+              throw new ImportException(s"cyclic ref '$ref' with no " +
+                "container boundary between entries — consumes no " +
+                "instance nesting, cannot terminate")
+            case Some((_, n)) if n >= maxUnroll =>
+              out += BoolSchema(fresh(path, "depthCut"), value = false)
+            case prior =>
+              val n = prior.map(_._2).getOrElse(0)
+              out += allOfWrap(path, lower(resolveRef(ref), path,
+                refs + (ref -> (depth, n + 1)), depth))
+          }
         }
       }
 
@@ -270,7 +290,7 @@ object JsonSchemaImport {
           .map(_.elements().asScala.toSeq).getOrElse(Nil)
       if (prefix.nonEmpty)
         out += PrefixItems(fresh(path, "prefix"), path,
-          prefix.map(p => allOfWrap("$", lower(p, "$", refStack))))
+          prefix.map(p => allOfWrap("$", lower(p, "$", refs, depth + 1))))
       val tailSchema: Option[JsonNode] =
         Option(s.get("items")).filterNot(_.isArray)
           // draft-7 form: additionalItems binds ONLY alongside
@@ -278,19 +298,19 @@ object JsonSchemaImport {
           .orElse(Option(s.get("additionalItems"))
             .filter(_ => Option(s.get("items")).exists(_.isArray)))
       tailSchema.foreach { it =>
-        val elem = allOfWrap("$", lower(it, "$", refStack))
+        val elem = allOfWrap("$", lower(it, "$", refs, depth + 1))
         out += (if (prefix.isEmpty) EachElement(fresh(path, "items"), path, elem)
                 else EachElementFrom(fresh(path, "items"), path,
                   prefix.size, elem))
       }
       Option(s.get("contains")).foreach { c =>
         out += ContainsCount(fresh(path, "contains"), path,
-          allOfWrap("$", lower(c, "$", refStack)),
+          allOfWrap("$", lower(c, "$", refs, depth + 1)),
           int(s, "minContains").getOrElse(1), int(s, "maxContains"))
       }
       Option(s.get("unevaluatedItems")).foreach(u =>
         out += UnevaluatedItems(fresh(path, "unevalItems"), path,
-          allOfWrap("$", lower(u, "$", refStack))))
+          allOfWrap("$", lower(u, "$", refs, depth + 1))))
 
       // ---- objects --------------------------------------------------
       val props = Option(s.get("properties")).filter(_.isObject)
@@ -304,16 +324,16 @@ object JsonSchemaImport {
       if (isMap) {
         props.foreach(_.properties().asScala.foreach { e =>
           out += PropertyValues(fresh(path, s"prop_${e.getKey}"), path,
-            e.getKey, allOfWrap("$", lower(e.getValue, "$", refStack)))
+            e.getKey, allOfWrap("$", lower(e.getValue, "$", refs, depth + 1)))
         })
         Option(s.get("patternProperties")).foreach(
           _.properties().asScala.foreach { e =>
             out += PatternValues(fresh(path, "patternProps"), path,
-              e.getKey, allOfWrap("$", lower(e.getValue, "$", refStack)))
+              e.getKey, allOfWrap("$", lower(e.getValue, "$", refs, depth + 1)))
           })
         Option(s.get("propertyNames")).foreach { pn =>
           out += EachKey(fresh(path, "propNames"), path,
-            allOfWrap("$", lower(pn, "$", refStack)))
+            allOfWrap("$", lower(pn, "$", refs, depth + 1)))
         }
         Option(s.get("additionalProperties")).foreach { ap =>
           val covered = props.map(
@@ -331,7 +351,7 @@ object JsonSchemaImport {
                 covered, coveredPats)
           } else if (!ap.isBoolean)
             out += UnevaluatedProperties(fresh(path, "addlProps"), path,
-              allOfWrap("$", lower(ap, "$", refStack)), covered, coveredPats)
+              allOfWrap("$", lower(ap, "$", refs, depth + 1)), covered, coveredPats)
         }
         if (s.has("minProperties") || s.has("maxProperties"))
           out += KeyCountBounds(fresh(path, "keyCount"), path,
@@ -359,20 +379,20 @@ object JsonSchemaImport {
           _.properties().asScala.foreach { e =>
             out += IfThen(fresh(path, s"depSchema_${e.getKey}"),
               presence(e.getKey),
-              allOfWrap(path, lower(e.getValue, path, refStack)))
+              allOfWrap(path, lower(e.getValue, path, refs, depth)))
           })
         Option(s.get("unevaluatedProperties")).foreach { u =>
           // declared coverage is computed by the compiler's
           // resolveUnevaluated pass from sibling PropertyValues/
           // PatternValues/KeysIn on the same column
           out += UnevaluatedProperties(fresh(path, "unevalProps"), path,
-            allOfWrap("$", lower(u, "$", refStack)))
+            allOfWrap("$", lower(u, "$", refs, depth + 1)))
         }
       } else {
         def childPath(p: String): String =
           if (path.isEmpty) p else s"$path.$p"
         props.foreach(_.properties().asScala.foreach { e =>
-          out ++= lower(e.getValue, childPath(e.getKey), refStack)
+          out ++= lower(e.getValue, childPath(e.getKey), refs, depth + 1)
         })
         // struct-flavor additionalProperties (alongside properties) is
         // structural: a fixed struct has no additional fields to reject
@@ -400,45 +420,45 @@ object JsonSchemaImport {
           _.properties().asScala.foreach { e =>
             out += IfThen(fresh(path, s"depSchema_${e.getKey}"),
               NotNull(fresh(path, "depCond"), childPath(e.getKey)),
-              allOfWrap(path, lower(e.getValue, path, refStack)))
+              allOfWrap(path, lower(e.getValue, path, refs, depth)))
           })
         Option(s.get("unevaluatedProperties")).foreach { u =>
           if (path.isEmpty) throw new ImportException(
             "unevaluatedProperties at the ROW level is not meaningful " +
               "for a fixed table schema")
           out += UnevaluatedProperties(fresh(path, "unevalProps"), path,
-            allOfWrap("$", lower(u, "$", refStack)))
+            allOfWrap("$", lower(u, "$", refs, depth + 1)))
         }
       }
 
       // ---- combinators ---------------------------------------------
       Option(s.get("allOf")).foreach(_.elements().asScala.foreach(sub =>
-        out ++= lower(sub, path, refStack)))
+        out ++= lower(sub, path, refs, depth)))
       Option(s.get("anyOf")).foreach { a =>
         out += AnyOf(fresh(path, "anyOf"), a.elements().asScala.map(sub =>
-          allOfWrap(path, lower(sub, path, refStack))).toSeq)
+          allOfWrap(path, lower(sub, path, refs, depth))).toSeq)
       }
       Option(s.get("oneOf")).foreach { o =>
         out += OneOf(fresh(path, "oneOf"), o.elements().asScala.map(sub =>
-          allOfWrap(path, lower(sub, path, refStack))).toSeq)
+          allOfWrap(path, lower(sub, path, refs, depth))).toSeq)
       }
       Option(s.get("not")).foreach(sub =>
         out += Not(fresh(path, "not"),
-          allOfWrap(path, lower(sub, path, refStack))))
+          allOfWrap(path, lower(sub, path, refs, depth))))
       Option(s.get("if")).foreach { i =>
         val thenC = Option(s.get("then"))
-          .map(t => allOfWrap(path, lower(t, path, refStack)))
+          .map(t => allOfWrap(path, lower(t, path, refs, depth)))
           .getOrElse(BoolSchema(fresh(path, "thenTrue"), value = true))
         val elseC = Option(s.get("else"))
-          .map(e => allOfWrap(path, lower(e, path, refStack)))
+          .map(e => allOfWrap(path, lower(e, path, refs, depth)))
         out += IfThen(fresh(path, "ifThen"),
-          allOfWrap(path, lower(i, path, refStack)), thenC, elseC)
+          allOfWrap(path, lower(i, path, refs, depth)), thenC, elseC)
       }
 
       out.result()
     }
 
-    val cs = lower(root, "", Nil)
+    val cs = lower(root, "", Map.empty, 0)
     if (cs.isEmpty)
       throw new ImportException(
         "schema asserts nothing a table validator can enforce " +

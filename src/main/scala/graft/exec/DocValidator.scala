@@ -37,8 +37,9 @@ object DocValidator {
   private val mapper = new ObjectMapper()
 
   def compile(suite: ConstraintSuite,
-      registry: ConstraintRegistry = ConstraintRegistry.empty): CompiledDocSuite = {
-    val resolved = ConstraintCompiler.resolve(suite, registry)
+      registry: ConstraintRegistry = ConstraintRegistry.empty,
+      maxUnroll: Int = ConstraintCompiler.DefaultMaxUnroll): CompiledDocSuite = {
+    val resolved = ConstraintCompiler.resolve(suite, registry, maxUnroll)
     resolved.constraints.foreach(Constraint.walk(_) {
       case c @ (_: Unique | _: RefIntegrity | _: NoDrift |
           _: NoArrayDrift) =>

@@ -33,6 +33,10 @@ class ConformanceSpec extends SparkSpec {
       // groups (dynamicRef, value-type type.json cases, …) and carries
       // no tests
       .filter(c => c.path("tests").size() > 0) // path(): doc-only entries without a tests key stay skippable, not an NPE
+      // `docOnly` cases (recursive refs → nested instances) have no
+      // expressible binding onto this runner's FLAT row schema; the
+      // document engine replays them in DocValidatorSpec
+      .filter(c => !c.path("docOnly").asBoolean(false))
       .foreach { c =>
       val desc = c.get("description").asText()
       val constraints = c.get("constraints").elements().asScala

@@ -161,6 +161,37 @@ class DocValidatorSpec extends AnyFunSuite {
     }.getMessage.contains("idn-email"))
   }
 
+  test("recursive refs: declared unroll budget, fail-closed past it") {
+    // recursive tree with an explicit small budget: exact within it,
+    // invalid (never silently valid) beyond it
+    val tree = ConstraintSuite("tree", Seq(
+      Defs("d", Seq(AllOf("node", Seq(
+        Bounds("val_ok", "$.value", Some(BigDecimal(0)),
+          Some(BigDecimal(100))),
+        EachElement("kids", "$.children",
+          DynamicRef("again", "#node")))))),
+      EachElement("roots", "roots", DynamicRef("start", "#node"))),
+      dynamicAnchors = Seq("node"))
+    val k4 = DocValidator.compile(tree, maxUnroll = 4)
+    def nested(depth: Int): String = {
+      var n = """{"value":5}"""
+      (2 to depth).foreach(_ => n = s"""{"value":5,"children":[$n]}""")
+      s"""{"roots":[$n]}"""
+    }
+    assert(DocValidator.validate(k4, nested(4)))
+    assert(!DocValidator.validate(k4, nested(5))) // past budget: closed
+    assert(!DocValidator.validate(k4,
+      """{"roots":[{"value":5,"children":[{"value":999}]}]}"""))
+
+    // recursion with NO container boundary between entries still errors
+    val e = intercept[graft.compile.ConstraintCompiler.CompileException] {
+      DocValidator.compile(ConstraintSuite("flat", Seq(
+        Defs("d", Seq(AllOf("node", Seq(DynamicRef("again", "#node"))))),
+        DynamicRef("start", "#node")), dynamicAnchors = Seq("node")))
+    }
+    assert(e.getMessage.contains("cyclic"))
+  }
+
   test("throughput sanity: per-document latency is microseconds") {
     val suite = DocValidator.compile(ConstraintSuite("hot", Seq(
       NotNull("id_req", "doc_id"),

@@ -21,7 +21,11 @@ class SchemaConformanceSpec extends SparkSpec {
     val corpus = new ObjectMapper().readTree(in)
     var passed, failed = 0
     val failures = Seq.newBuilder[String]
-    corpus.elements().asScala.foreach { c =>
+    corpus.elements().asScala
+      // recursive-schema groups bind to nested instances the flat test
+      // row cannot carry — the document engine replays them instead
+      .filter(c => !c.path("docOnly").asBoolean(false))
+      .foreach { c =>
       val desc = c.get("description").asText()
       val suite = ConstraintCompiler.compile(
         JsonSchemaImport.translate(c.get("schema").toString, desc))
