@@ -475,10 +475,17 @@ object ConstraintCompiler {
 
     case Bounds(_, col, mn, mx, emn, emx) =>
       val v = res(col, scope)
-      val lo = mn.map(b => if (emn) v > F.lit(b.bigDecimal)
-                           else v >= F.lit(b.bigDecimal))
-      val hi = mx.map(b => if (emx) v < F.lit(b.bigDecimal)
-                           else v <= F.lit(b.bigDecimal))
+      // Exact decimal compare first: a string-vs-decimal comparison
+      // coerces to DOUBLE in Spark and conflates integers past 2^53
+      // (suite-exactness gap vs the doc engine's BigDecimal). try_cast
+      // to decimal(38,18) keeps 20 integer digits exact; values outside
+      // that range (huge doubles like 1e308) fall back to the native
+      // comparison via ordered coalesce — never an ANSI task failure.
+      val d = v.cast("string").try_cast("decimal(38,18)")
+      def cmp(f: (Column, Column) => Column, b: BigDecimal): Column =
+        F.coalesce(f(d, F.lit(b.bigDecimal)), f(v, F.lit(b.bigDecimal)))
+      val lo = mn.map(b => cmp(if (emn) _ > _ else _ >= _, b))
+      val hi = mx.map(b => cmp(if (emx) _ < _ else _ <= _, b))
       nullPasses(v, (lo.toSeq ++ hi.toSeq).reduceOption(_ && _)
         .getOrElse(F.lit(true)))
 
