@@ -179,14 +179,20 @@ object Scaling {
     s
   }
 
-  private[graft] def localDir: String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) {
-      val d = new java.io.File(shm, "graft-shuffle")
-      d.mkdirs()
-      d.getAbsolutePath
-    } else System.getProperty("java.io.tmpdir")
-  }
+  private[graft] def localDir: String =
+    sys.env.get("GRAFT_LOCAL_DIR") match {
+      // tmpfs shuffle is RAM: a spill-heavy run (e.g. DedupBench at
+      // 10^7 docs) can fill /dev/shm and get the JVM OOM-killed by the
+      // OS — point GRAFT_LOCAL_DIR at real disk for those
+      case Some(d) => d
+      case None =>
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) {
+          val d = new java.io.File(shm, "graft-shuffle")
+          d.mkdirs()
+          d.getAbsolutePath
+        } else System.getProperty("java.io.tmpdir")
+    }
 
   /**
    * Modes:

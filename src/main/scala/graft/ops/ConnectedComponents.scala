@@ -47,13 +47,19 @@ object ConnectedComponents {
    * assignment is needed.
    */
   def groups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 50): DataFrame = {
-    val assignment = roots(pairs, idA, idB, maxIter)
-    assignment
+      maxIter: Int = 50): DataFrame =
+    groupsWithRounds(pairs, idA, idB, maxIter)._1
+
+  /** [[groups]] plus the number of large-star/small-star rounds to
+    * convergence — the O(log n) claim as a measurable artifact. */
+  def groupsWithRounds(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 50): (DataFrame, Int) = {
+    val (assignment, rounds) = roots(pairs, idA, idB, maxIter)
+    (assignment
       .unionByName(assignment.select(F.col("group_id").as("doc_id"),
         F.col("group_id")).distinct())
       .select(F.col("doc_id"), F.col("group_id"),
-        (F.col("doc_id") === F.col("group_id")).as("keep"))
+        (F.col("doc_id") === F.col("group_id")).as("keep")), rounds)
   }
 
   /**
@@ -78,9 +84,9 @@ object ConnectedComponents {
   }
 
   /** Non-root edges `(doc_id, group_id)` at convergence (roots are the
-    * `group_id` side only). */
+    * `group_id` side only), with the round count. */
   private def roots(pairs: DataFrame, idA: String, idB: String,
-      maxIter: Int): DataFrame = {
+      maxIter: Int): (DataFrame, Int) = {
     var edges = pairs
       .select(F.col(idA).cast("string").as("u"),
         F.col(idB).cast("string").as("v"))
@@ -118,7 +124,8 @@ object ConnectedComponents {
       s"connected components did not converge in $maxIter rounds — " +
         "the alternation converges in O(log n); an input this deep " +
         "indicates a corrupt pair table")
-    edges.select(F.col("u").as("doc_id"), F.col("v").as("group_id"))
+    (edges.select(F.col("u").as("doc_id"), F.col("v").as("group_id")),
+      iter)
   }
 
   /** Connect every neighbor larger than the center to the neighborhood

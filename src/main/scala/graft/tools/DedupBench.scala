@@ -59,6 +59,9 @@ object DedupBench {
     // warm-up (JIT + codegen)
     Dedup.exactGroups(docs, "doc_id", "text").filter($"n_dups" > 1).count()
 
+    var substrPairs: DataFrame = null
+    var ccRounds = 0
+
     val results = Seq(
       time("exact") {
         Dedup.exactGroups(docs, "doc_id", "text")
@@ -86,11 +89,23 @@ object DedupBench {
         val sigs = spark.read.parquet(s"/tmp/graft_dedup_bench/sigs=$nDocs")
         val pairs = Dedup.minhashCandidatesFromSigs(sigs,
           numHashes = 64, bands = 16, minJaccard = 0.7)
-        graft.ops.ConnectedComponents.groups(pairs).count()
+        val (g, rounds) =
+          graft.ops.ConnectedComponents.groupsWithRounds(pairs)
+        ccRounds = rounds
+        g.count()
       },
       time("simhash") {
         Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
           .count()
+      },
+      // exact substring (shared 16-word-run) dedup: winnowed
+      // fingerprints → capped pairing → exact run-hash intersect;
+      // planted near-dups share their whole 120-word prefix, so each
+      // planted pair must surface here too
+      time("substr") {
+        substrPairs = Dedup.substringPairs(docs, "doc_id", "text",
+          runWords = 16, shingleK = 8).localCheckpoint()
+        substrPairs.count()
       },
       time("decontam") {
         graft.ops.Decontaminate.contaminationHits(
@@ -117,10 +132,20 @@ object DedupBench {
     }
     val recall = plantedFound.toDouble / expected
 
+    // substring-dedup recall on the same planted pairs (each shares its
+    // predecessor's full 120-word prefix, far beyond the 16-word run)
+    val substrRecall = {
+      val planted = spark.range(0L, nDocs).filter($"id" % 10 === 1)
+        .select(($"id" - 1).cast("string").as("id_a"),
+          $"id".cast("string").as("id_b"))
+      substrPairs.join(planted, Seq("id_a", "id_b"), "left_semi")
+        .count().toDouble / expected
+    }
+
     val fields = results.map { case (w, secs, found) =>
       f""""$w":{"sec":$secs%.2f,"docs_per_sec":${nDocs / secs}%.0f,"found":$found}"""
     }.mkString(",")
-    println(f"""{"dedup_bench":{"n_docs":$nDocs,"cpus":$cpus,$fields,"planted_recall":$recall%.4f}}""")
+    println(f"""{"dedup_bench":{"n_docs":$nDocs,"cpus":$cpus,$fields,"planted_recall":$recall%.4f,"substr_recall":$substrRecall%.4f,"cc_rounds":$ccRounds}}""")
     spark.stop()
   }
 }
