@@ -197,6 +197,18 @@ object Dedup {
     * chunks (any pair within Hamming distance 3 shares ≥1 chunk), pair
     * same-chunk docs through the capped bucket path, verify with
     * `bit_count(xor) <= maxHamming`. */
+  /** Candidate near-dup pairs by SimHash banding (4×16-bit bands —
+    * the pigeonhole guarantee that any pair with Hamming ≤ 3 shares at
+    * least one band). SCALE NOTE on `maxBucket`: CHANCE band
+    * collisions among unrelated documents average n/2^16 per bucket,
+    * so at n = 10^7 every bucket holds ~150 strangers and the
+    * all-pairs expansion inside the cap is quadratic in that occupancy
+    * (~10^9 rows — measured as a filled disk, not a hypothesis). Set
+    * `maxBucket` to a small multiple of the expected TRUE duplicate-
+    * cluster size (e.g. 32–64) once n approaches 10^6·bands: chance
+    * buckets then emit linear star pairs while real clusters stay
+    * fully paired; downstream connected components recovers any pair
+    * the star routing deferred. */
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {

@@ -62,14 +62,27 @@ object DedupBench {
     var substrPairs: DataFrame = null
     var ccRounds = 0
 
+    // scale knobs, printed with the results (no silent caps):
+    //  - the ONE-SHOT minhash recomputes signatures for its verify join
+    //    (the documented small-corpus convenience) — at ≥ 5M docs only
+    //    the staged path (the 10^12 shape) is timed;
+    //  - simhash 16-bit bands hold ~n/65536 CHANCE collisions each, so
+    //    past ~3M docs the cap drops to 64 → strangers star-pair
+    //    (linear) while true clusters stay fully paired (see
+    //    Dedup.simhashCandidates scaladoc)
+    val runOneShot = nDocs < 5000000L
+    val simhashCap = if (nDocs >= 3000000L) 64 else 4096
+
     val results = Seq(
       time("exact") {
         Dedup.exactGroups(docs, "doc_id", "text")
           .filter($"n_dups" > 1).count()
       },
       time("minhash_lsh") {
-        Dedup.minhashCandidates(docs, "doc_id", "text",
-          numHashes = 64, bands = 16, minJaccard = 0.7).count()
+        if (runOneShot)
+          Dedup.minhashCandidates(docs, "doc_id", "text",
+            numHashes = 64, bands = 16, minJaccard = 0.7).count()
+        else -1L // skipped: staged path is the at-scale shape
       },
       // the 10^12-scale shape measured as the 10^12-scale shape:
       // signatures computed ONCE and materialized to a parquet staging
@@ -95,8 +108,8 @@ object DedupBench {
         g.count()
       },
       time("simhash") {
-        Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
-          .count()
+        Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3,
+          maxBucket = simhashCap).count()
       },
       // exact substring (shared 16-word-run) dedup: winnowed
       // fingerprints → capped pairing → exact run-hash intersect;
@@ -145,7 +158,7 @@ object DedupBench {
     val fields = results.map { case (w, secs, found) =>
       f""""$w":{"sec":$secs%.2f,"docs_per_sec":${nDocs / secs}%.0f,"found":$found}"""
     }.mkString(",")
-    println(f"""{"dedup_bench":{"n_docs":$nDocs,"cpus":$cpus,$fields,"planted_recall":$recall%.4f,"substr_recall":$substrRecall%.4f,"cc_rounds":$ccRounds}}""")
+    println(f"""{"dedup_bench":{"n_docs":$nDocs,"cpus":$cpus,$fields,"planted_recall":$recall%.4f,"substr_recall":$substrRecall%.4f,"cc_rounds":$ccRounds,"one_shot_skipped":${!runOneShot},"simhash_bucket_cap":$simhashCap}}""")
     spark.stop()
   }
 }
