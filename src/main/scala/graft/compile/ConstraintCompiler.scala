@@ -221,9 +221,16 @@ object ConstraintCompiler {
     // `cdepth` counts container boundaries (array-element / map-value /
     // key scopes) crossed so far.
     final case class Entry(depthAtEntry: Int, times: Int)
+    // `pol` is the POLARITY of the position being resolved: +1 the
+    // constraint's truth helps validity (monotone positive), −1 it is
+    // under an odd number of negations, 0 non-monotone (oneOf branch,
+    // if-condition, bounded-contains element). The unroll CUT must stay
+    // fail-closed — reject instances past the budget — which means
+    // `false` in positive positions, `true` under negation, and NO
+    // sound constant exists in non-monotone positions (refuse there).
     def go(c: Constraint, visiting: Map[String, Entry],
         scope: List[ConstraintSuite],
-        lexical: ConstraintSuite, cdepth: Int): Constraint = {
+        lexical: ConstraintSuite, cdepth: Int, pol: Int): Constraint = {
       def enter(t: ConstraintSuite): List[ConstraintSuite] =
         if (scope.exists(_.id == t.id)) scope else scope :+ t
       // cycle/unroll policy for a (dynamic)ref about to inline `key`:
@@ -243,12 +250,22 @@ object ConstraintCompiler {
             Some(visiting + (key -> Entry(cdepth, n + 1)))
           case None => Some(visiting + (key -> Entry(cdepth, 1)))
         }
+      def cut(id: String, name: String): Constraint = pol match {
+        case 1  => BoolSchema(id, value = false)
+        case -1 => BoolSchema(id, value = true) // negated → still rejects
+        case _ => throw new CompileException(
+          s"Schema compilation failed: recursive ref '$name' exceeds " +
+            s"the unroll budget ($maxUnroll) inside a NON-MONOTONE " +
+            "context (oneOf branch / if-condition / bounded contains) " +
+            "— no fail-closed cut exists there; raise maxUnroll or " +
+            "restructure the schema")
+      }
       c match {
         case Ref(id, name) =>
           val (t, frag) = target(name, lexical)
           val key = frag.fold(t.id)(cid => s"${t.id}#$cid")
           admit(key, name, dynamic = false) match {
-            case None => BoolSchema(id, value = false) // fail-closed cut
+            case None => cut(id, name)
             case Some(v2) =>
               // A referenced suite/fragment inlines as the conjunction
               // of its constraints, re-rooted under the Ref's own id.
@@ -256,7 +273,7 @@ object ConstraintCompiler {
                 case None      => t.constraints
                 case Some(cid) => Seq(fragment(t, cid, name))
               }
-              AllOf(id, body.map(go(_, v2, enter(t), t, cdepth)))
+              AllOf(id, body.map(go(_, v2, enter(t), t, cdepth, pol)))
           }
         case DynamicRef(id, name) =>
           if (!name.contains('#') || name.endsWith("#"))
@@ -271,57 +288,62 @@ object ConstraintCompiler {
                 findFragment(s, anchor).isDefined).getOrElse(lexT)
           val key = s"${chosen.id}#$anchor"
           admit(key, name, dynamic = true) match {
-            case None => BoolSchema(id, value = false) // fail-closed cut
+            case None => cut(id, name)
             case Some(v2) =>
               AllOf(id, Seq(go(fragment(chosen, anchor, name),
-                v2, enter(chosen), chosen, cdepth)))
+                v2, enter(chosen), chosen, cdepth, pol)))
           }
         case Defs(id, _) =>
           // definitions assert nothing; fragments inside them resolve
           // against the ORIGINAL suites, so the body need not survive
           BoolSchema(id, true)
         case AllOf(id, cs) =>
-          AllOf(id, cs.map(go(_, visiting, scope, lexical, cdepth)))
+          AllOf(id, cs.map(go(_, visiting, scope, lexical, cdepth, pol)))
         case AnyOf(id, cs) =>
-          AnyOf(id, cs.map(go(_, visiting, scope, lexical, cdepth)))
+          AnyOf(id, cs.map(go(_, visiting, scope, lexical, cdepth, pol)))
         case OneOf(id, cs) =>
-          OneOf(id, cs.map(go(_, visiting, scope, lexical, cdepth)))
-        case Not(id, c0) => Not(id, go(c0, visiting, scope, lexical, cdepth))
+          // exactly-one is non-monotone: a branch's truth can invalidate
+          OneOf(id, cs.map(go(_, visiting, scope, lexical, cdepth, 0)))
+        case Not(id, c0) =>
+          Not(id, go(c0, visiting, scope, lexical, cdepth, -pol))
         case IfThen(id, i, t, e) =>
-          IfThen(id, go(i, visiting, scope, lexical, cdepth),
-            go(t, visiting, scope, lexical, cdepth),
-            e.map(go(_, visiting, scope, lexical, cdepth)))
+          IfThen(id, go(i, visiting, scope, lexical, cdepth, 0),
+            go(t, visiting, scope, lexical, cdepth, pol),
+            e.map(go(_, visiting, scope, lexical, cdepth, pol)))
         case EachElement(id, col, e) =>
-          EachElement(id, col, go(e, visiting, scope, lexical, cdepth + 1))
+          EachElement(id, col,
+            go(e, visiting, scope, lexical, cdepth + 1, pol))
         case EachElementFrom(id, col, st, e) =>
           EachElementFrom(id, col, st,
-            go(e, visiting, scope, lexical, cdepth + 1))
+            go(e, visiting, scope, lexical, cdepth + 1, pol))
         case EachKey(id, col, e) =>
-          EachKey(id, col, go(e, visiting, scope, lexical, cdepth + 1))
+          EachKey(id, col, go(e, visiting, scope, lexical, cdepth + 1, pol))
         case ContainsCount(id, col, e, mn, mx) =>
+          // a max-bounded contains is non-monotone in its element
           ContainsCount(id, col,
-            go(e, visiting, scope, lexical, cdepth + 1), mn, mx)
+            go(e, visiting, scope, lexical, cdepth + 1,
+              if (mx.isDefined) 0 else pol), mn, mx)
         case PrefixItems(id, col, es) =>
           PrefixItems(id, col,
-            es.map(go(_, visiting, scope, lexical, cdepth + 1)))
+            es.map(go(_, visiting, scope, lexical, cdepth + 1, pol)))
         case PropertyValues(id, col, k, e) =>
           PropertyValues(id, col, k,
-            go(e, visiting, scope, lexical, cdepth + 1))
+            go(e, visiting, scope, lexical, cdepth + 1, pol))
         case PatternValues(id, col, p, e) =>
           PatternValues(id, col, p,
-            go(e, visiting, scope, lexical, cdepth + 1))
+            go(e, visiting, scope, lexical, cdepth + 1, pol))
         case UnevaluatedItems(id, col, e) =>
           UnevaluatedItems(id, col,
-            go(e, visiting, scope, lexical, cdepth + 1))
+            go(e, visiting, scope, lexical, cdepth + 1, pol))
         case UnevaluatedProperties(id, col, e, ks, ps) =>
           UnevaluatedProperties(id, col,
-            go(e, visiting, scope, lexical, cdepth + 1), ks, ps)
+            go(e, visiting, scope, lexical, cdepth + 1, pol), ks, ps)
         case other => other
       }
     }
     ConstraintSuite(suite.id,
       suite.constraints.filterNot(_.isInstanceOf[Defs])
-        .map(go(_, Map(suite.id -> Entry(0, 1)), List(suite), suite, 0)),
+        .map(go(_, Map(suite.id -> Entry(0, 1)), List(suite), suite, 0, 1)),
       suite.dynamicAnchors)
   }
 

@@ -153,7 +153,8 @@ object JsonSchemaImport {
       * `maxUnroll`, then cuts to a fail-closed `false` schema (data
       * nested past the budget is invalid, never silently accepted). */
     def lower(s: JsonNode, path: String,
-        refs: Map[String, (Int, Int)], depth: Int): Seq[Constraint] = {
+        refs: Map[String, (Int, Int)], depth: Int,
+        pol: Int): Seq[Constraint] = {
       if (s.isBoolean)
         return if (s.asBoolean()) Nil
         else Seq(BoolSchema(fresh(path, "false"), value = false))
@@ -178,12 +179,24 @@ object JsonSchemaImport {
               throw new ImportException(s"cyclic ref '$ref' with no " +
                 "container boundary between entries — consumes no " +
                 "instance nesting, cannot terminate")
-            case Some((_, n)) if n >= maxUnroll =>
-              out += BoolSchema(fresh(path, "depthCut"), value = false)
+            case Some((_, n)) if n >= maxUnroll => pol match {
+              // fail-closed: reject past-budget instances — false in
+              // positive positions, true under negation; non-monotone
+              // positions admit no sound constant
+              case 1 =>
+                out += BoolSchema(fresh(path, "depthCut"), value = false)
+              case -1 =>
+                out += BoolSchema(fresh(path, "depthCut"), value = true)
+              case _ => throw new ImportException(
+                s"recursive ref '$ref' exceeds the unroll budget " +
+                  s"($maxUnroll) inside a non-monotone context " +
+                  "(oneOf/if-condition/bounded contains) — no " +
+                  "fail-closed cut exists there; raise maxUnroll")
+            }
             case prior =>
               val n = prior.map(_._2).getOrElse(0)
               out += allOfWrap(path, lower(resolveRef(ref), path,
-                refs + (ref -> (depth, n + 1)), depth))
+                refs + (ref -> (depth, n + 1)), depth, pol))
           }
         }
       }
@@ -290,7 +303,7 @@ object JsonSchemaImport {
           .map(_.elements().asScala.toSeq).getOrElse(Nil)
       if (prefix.nonEmpty)
         out += PrefixItems(fresh(path, "prefix"), path,
-          prefix.map(p => allOfWrap("$", lower(p, "$", refs, depth + 1))))
+          prefix.map(p => allOfWrap("$", lower(p, "$", refs, depth + 1, pol))))
       val tailSchema: Option[JsonNode] =
         Option(s.get("items")).filterNot(_.isArray)
           // draft-7 form: additionalItems binds ONLY alongside
@@ -298,19 +311,21 @@ object JsonSchemaImport {
           .orElse(Option(s.get("additionalItems"))
             .filter(_ => Option(s.get("items")).exists(_.isArray)))
       tailSchema.foreach { it =>
-        val elem = allOfWrap("$", lower(it, "$", refs, depth + 1))
+        val elem = allOfWrap("$", lower(it, "$", refs, depth + 1, pol))
         out += (if (prefix.isEmpty) EachElement(fresh(path, "items"), path, elem)
                 else EachElementFrom(fresh(path, "items"), path,
                   prefix.size, elem))
       }
       Option(s.get("contains")).foreach { c =>
+        // a max-bounded contains is non-monotone in its element schema
+        val elemPol = if (s.has("maxContains")) 0 else pol
         out += ContainsCount(fresh(path, "contains"), path,
-          allOfWrap("$", lower(c, "$", refs, depth + 1)),
+          allOfWrap("$", lower(c, "$", refs, depth + 1, elemPol)),
           int(s, "minContains").getOrElse(1), int(s, "maxContains"))
       }
       Option(s.get("unevaluatedItems")).foreach(u =>
         out += UnevaluatedItems(fresh(path, "unevalItems"), path,
-          allOfWrap("$", lower(u, "$", refs, depth + 1))))
+          allOfWrap("$", lower(u, "$", refs, depth + 1, pol))))
 
       // ---- objects --------------------------------------------------
       val props = Option(s.get("properties")).filter(_.isObject)
@@ -324,16 +339,16 @@ object JsonSchemaImport {
       if (isMap) {
         props.foreach(_.properties().asScala.foreach { e =>
           out += PropertyValues(fresh(path, s"prop_${e.getKey}"), path,
-            e.getKey, allOfWrap("$", lower(e.getValue, "$", refs, depth + 1)))
+            e.getKey, allOfWrap("$", lower(e.getValue, "$", refs, depth + 1, pol)))
         })
         Option(s.get("patternProperties")).foreach(
           _.properties().asScala.foreach { e =>
             out += PatternValues(fresh(path, "patternProps"), path,
-              e.getKey, allOfWrap("$", lower(e.getValue, "$", refs, depth + 1)))
+              e.getKey, allOfWrap("$", lower(e.getValue, "$", refs, depth + 1, pol)))
           })
         Option(s.get("propertyNames")).foreach { pn =>
           out += EachKey(fresh(path, "propNames"), path,
-            allOfWrap("$", lower(pn, "$", refs, depth + 1)))
+            allOfWrap("$", lower(pn, "$", refs, depth + 1, pol)))
         }
         Option(s.get("additionalProperties")).foreach { ap =>
           val covered = props.map(
@@ -351,7 +366,7 @@ object JsonSchemaImport {
                 covered, coveredPats)
           } else if (!ap.isBoolean)
             out += UnevaluatedProperties(fresh(path, "addlProps"), path,
-              allOfWrap("$", lower(ap, "$", refs, depth + 1)), covered, coveredPats)
+              allOfWrap("$", lower(ap, "$", refs, depth + 1, pol)), covered, coveredPats)
         }
         if (s.has("minProperties") || s.has("maxProperties"))
           out += KeyCountBounds(fresh(path, "keyCount"), path,
@@ -379,20 +394,20 @@ object JsonSchemaImport {
           _.properties().asScala.foreach { e =>
             out += IfThen(fresh(path, s"depSchema_${e.getKey}"),
               presence(e.getKey),
-              allOfWrap(path, lower(e.getValue, path, refs, depth)))
+              allOfWrap(path, lower(e.getValue, path, refs, depth, pol)))
           })
         Option(s.get("unevaluatedProperties")).foreach { u =>
           // declared coverage is computed by the compiler's
           // resolveUnevaluated pass from sibling PropertyValues/
           // PatternValues/KeysIn on the same column
           out += UnevaluatedProperties(fresh(path, "unevalProps"), path,
-            allOfWrap("$", lower(u, "$", refs, depth + 1)))
+            allOfWrap("$", lower(u, "$", refs, depth + 1, pol)))
         }
       } else {
         def childPath(p: String): String =
           if (path.isEmpty) p else s"$path.$p"
         props.foreach(_.properties().asScala.foreach { e =>
-          out ++= lower(e.getValue, childPath(e.getKey), refs, depth + 1)
+          out ++= lower(e.getValue, childPath(e.getKey), refs, depth + 1, pol)
         })
         // struct-flavor additionalProperties (alongside properties) is
         // structural: a fixed struct has no additional fields to reject
@@ -420,45 +435,46 @@ object JsonSchemaImport {
           _.properties().asScala.foreach { e =>
             out += IfThen(fresh(path, s"depSchema_${e.getKey}"),
               NotNull(fresh(path, "depCond"), childPath(e.getKey)),
-              allOfWrap(path, lower(e.getValue, path, refs, depth)))
+              allOfWrap(path, lower(e.getValue, path, refs, depth, pol)))
           })
         Option(s.get("unevaluatedProperties")).foreach { u =>
           if (path.isEmpty) throw new ImportException(
             "unevaluatedProperties at the ROW level is not meaningful " +
               "for a fixed table schema")
           out += UnevaluatedProperties(fresh(path, "unevalProps"), path,
-            allOfWrap("$", lower(u, "$", refs, depth + 1)))
+            allOfWrap("$", lower(u, "$", refs, depth + 1, pol)))
         }
       }
 
       // ---- combinators ---------------------------------------------
       Option(s.get("allOf")).foreach(_.elements().asScala.foreach(sub =>
-        out ++= lower(sub, path, refs, depth)))
+        out ++= lower(sub, path, refs, depth, pol)))
       Option(s.get("anyOf")).foreach { a =>
         out += AnyOf(fresh(path, "anyOf"), a.elements().asScala.map(sub =>
-          allOfWrap(path, lower(sub, path, refs, depth))).toSeq)
+          allOfWrap(path, lower(sub, path, refs, depth, pol))).toSeq)
       }
       Option(s.get("oneOf")).foreach { o =>
+        // exactly-one is non-monotone: a branch's truth can invalidate
         out += OneOf(fresh(path, "oneOf"), o.elements().asScala.map(sub =>
-          allOfWrap(path, lower(sub, path, refs, depth))).toSeq)
+          allOfWrap(path, lower(sub, path, refs, depth, 0))).toSeq)
       }
       Option(s.get("not")).foreach(sub =>
         out += Not(fresh(path, "not"),
-          allOfWrap(path, lower(sub, path, refs, depth))))
+          allOfWrap(path, lower(sub, path, refs, depth, -pol))))
       Option(s.get("if")).foreach { i =>
         val thenC = Option(s.get("then"))
-          .map(t => allOfWrap(path, lower(t, path, refs, depth)))
+          .map(t => allOfWrap(path, lower(t, path, refs, depth, pol)))
           .getOrElse(BoolSchema(fresh(path, "thenTrue"), value = true))
         val elseC = Option(s.get("else"))
-          .map(e => allOfWrap(path, lower(e, path, refs, depth)))
+          .map(e => allOfWrap(path, lower(e, path, refs, depth, pol)))
         out += IfThen(fresh(path, "ifThen"),
-          allOfWrap(path, lower(i, path, refs, depth)), thenC, elseC)
+          allOfWrap(path, lower(i, path, refs, depth, 0)), thenC, elseC)
       }
 
       out.result()
     }
 
-    val cs = lower(root, "", Map.empty, 0)
+    val cs = lower(root, "", Map.empty, 0, 1)
     if (cs.isEmpty)
       throw new ImportException(
         "schema asserts nothing a table validator can enforce " +

@@ -85,7 +85,15 @@ object JsonValidator {
     * predicates, the same verdict/violation semantics as validating a
     * pre-parsed table. Unparseable rows (from_json → NULL struct while
     * the source string is non-null) are charged to
-    * [[DocumentConstraint]], mirroring the schema-free path. */
+    * [[DocumentConstraint]], mirroring the schema-free path.
+    *
+    * Contract DELTA vs the schema-free path, by design: this path
+    * requires OBJECT documents (that is what a struct schema means). A
+    * valid non-object JSON document — a bare scalar, array, or `null`
+    * literal — is charged to [[DocumentConstraint]] here, while the
+    * schema-free engine validates it with pass-on-null applicability
+    * (the reference's behavior for such instances). Feed non-object
+    * corpora through [[verdicts]]/[[violations]]. */
   def violationsTyped(df: DataFrame, idCol: String, jsonCol: String,
       schema: StructType, suite: ConstraintSuite,
       registry: ConstraintRegistry = ConstraintRegistry.empty): DataFrame = {
@@ -108,8 +116,10 @@ object JsonValidator {
         F.lit(DocumentConstraint).as("constraint_id"),
         F.lit(DocumentExpected).as("expected"))
     val typedRows = parsed.filter(!badPred) // isNull/isNotNull never null
+      // getField, not a string path: a field literally named "a.b"
+      // (legal JSON, legal StructType) must not parse as a nested path
       .select((F.col("_doc_id") +: schema.fieldNames.toSeq
-        .map(f => F.col(s"_d.$f").as(f))): _*)
+        .map(f => F.col("_d").getField(f).as(f))): _*)
     val compiled = ConstraintCompiler.compile(suite, registry)
     Validator.validateWithDetails(typedRows, compiled, Seq.empty, "_doc_id")
       .violations

@@ -265,6 +265,31 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /**
+   * The per-document gram artifacts of substring dedup, computed in ONE
+   * projection over the corpus: `(doc_id, _fps, _runs)` where `_fps`
+   * are the winnowed fingerprints and `_runs` the distinct
+   * runWords-gram hashes. At 10^12 docs MATERIALIZE this to a parquet
+   * staging table (the [[minhashSignatures]] pattern) and feed
+   * [[substringPairsFromGrams]] — the convenience [[substringPairs]]
+   * re-executes this projection's lineage once per consumer branch.
+   */
+  def substringGrams(df: DataFrame, idCol: String, textCol: String,
+      runWords: Int = 16, shingleK: Int = 8): DataFrame = {
+    require(runWords >= shingleK,
+      "runWords must be >= shingleK (the window is runWords-shingleK+1)")
+    val w = runWords - shingleK + 1
+    val words = F.split(F.trim(F.lower(F.col("_text"))), "\\s+")
+    df.select(F.col(idCol).cast("string").as("doc_id"),
+        F.col(textCol).as("_text"))
+      .filter(F.col("_text").isNotNull && F.size(words) >= runWords)
+      .select(F.col("doc_id"),
+        graft.functions.WinnowedMins(
+          graft.functions.ShingleHashes(words, shingleK), w).as("_fps"),
+        F.array_distinct(
+          graft.functions.ShingleHashes(words, runWords)).as("_runs"))
+  }
+
+  /**
    * Pairs of documents sharing at least one EXACT run of `runWords`
    * consecutive words (lowercased, whitespace-split) — the substring-
    * dedup modality of Lee et al. 2022 ("Deduplicating Training Data
@@ -277,41 +302,55 @@ object Dedup {
    *     with the winnowing guarantee that any shared run of
    *     ≥ w+shingleK−1 = runWords words yields a common fingerprint —
    *     recall-lossless sparsification, no suffix array needed;
-   *  2. fingerprint buckets emit capped candidate pairs
-   *     ([[bucketedPairs]]: linear under boilerplate);
+   *  2. fingerprint buckets ≤ `maxBucket` emit ALL pairs; documents in
+   *     OVERSIZED buckets (boilerplate fingerprints) fall back to
+   *     bucketing by their exact run hashes — a star pair through a
+   *     rep that merely shares the 8-gram would be killed by the
+   *     verify and silently lose true pairs, while a run-hash bucket's
+   *     star pairs verify TRUE by construction (every member carries
+   *     the bucket's run), so downstream connected components recovers
+   *     the full clique. Output stays linear under boilerplate;
    *  3. exact verify: intersect the pairs' DISTINCT runWords-gram hash
    *     sets — `n_shared_runs` = number of distinct shared runs ≥ 1,
-   *     so precision is exact too (a fingerprint shared via a run
-   *     shorter than `runWords` is filtered here).
+   *     so precision is exact (a fingerprint shared via a run shorter
+   *     than `runWords` is filtered here).
    *
+   * Recall: exact at pair level while fingerprint buckets stay within
+   * `maxBucket`; above it, pairs are star-connected through verified
+   * shared-run edges (group-exact under [[ConnectedComponents]]).
    * Documents with fewer than `runWords` words cannot contain such a
    * run and are excluded. Output: `(id_a, id_b, n_shared_runs)`,
-   * `id_a < id_b` in string order.
-   *
-   * Scale shape at 10^12 docs: one scan computes both gram arrays; only
-   * winnowed fingerprints (~2/(w+1) per position) are exploded into the
-   * pairing shuffle; the run-hash arrays join back ONLY for surviving
-   * candidates — corpus text never shuffles.
+   * `id_a < id_b` in string order. Only fingerprints (~2/(w+1) per
+   * position) shuffle; run arrays join back for candidates and
+   * oversized-bucket members only — corpus text never shuffles.
    */
   def substringPairs(df: DataFrame, idCol: String, textCol: String,
       runWords: Int = 16, shingleK: Int = 8,
+      maxBucket: Int = 256): DataFrame =
+    substringPairsFromGrams(
+      substringGrams(df, idCol, textCol, runWords, shingleK), maxBucket)
+
+  /** Pair detection over a (possibly staged) [[substringGrams]] table. */
+  def substringPairsFromGrams(grams: DataFrame,
       maxBucket: Int = 256): DataFrame = {
-    require(runWords >= shingleK,
-      "runWords must be >= shingleK (the window is runWords-shingleK+1)")
-    val w = runWords - shingleK + 1
-    val words = F.split(F.trim(F.lower(F.col("_text"))), "\\s+")
-    val base = df
-      .select(F.col(idCol).cast("string").as("doc_id"),
-        F.col(textCol).as("_text"))
-      .filter(F.col("_text").isNotNull && F.size(words) >= runWords)
-    val fps = base.select(F.col("doc_id"),
-      F.explode(graft.functions.WinnowedMins(
-        graft.functions.ShingleHashes(words, shingleK), w)).as("_fp"))
-    val cands = bucketedPairs(fps, Seq("_fp"), "doc_id", Seq.empty,
-      maxBucket)
-      .select("id_a", "id_b").distinct()
-    val runs = base.select(F.col("doc_id"), F.array_distinct(
-      graft.functions.ShingleHashes(words, runWords)).as("_runs"))
+    val fps = grams.select(F.col("doc_id"),
+      F.explode(F.col("_fps")).as("_fp"))
+    val fpSizes = fps.groupBy("_fp")
+      .agg(F.count(F.lit(1)).as("_fpn")).filter(F.col("_fpn") >= 2)
+    val keyed = fps.join(fpSizes, Seq("_fp"))
+    val smallCands = bucketedPairs(
+      keyed.filter(F.col("_fpn") <= maxBucket).select("doc_id", "_fp"),
+      Seq("_fp"), "doc_id", Seq.empty, maxBucket)
+      .select("id_a", "id_b")
+    val bigDocs = keyed.filter(F.col("_fpn") > maxBucket)
+      .select("doc_id").distinct()
+    val bigRuns = bigDocs.join(grams, Seq("doc_id"))
+      .select(F.col("doc_id"), F.explode(F.col("_runs")).as("_rh"))
+    val bigCands = bucketedPairs(bigRuns, Seq("_rh"), "doc_id",
+      Seq.empty, maxBucket)
+      .select("id_a", "id_b")
+    val cands = smallCands.unionByName(bigCands).distinct()
+    val runs = grams.select(F.col("doc_id"), F.col("_runs"))
     cands
       .join(runs.select(F.col("doc_id").as("id_a"),
         F.col("_runs").as("_ra")), Seq("id_a"))

@@ -111,7 +111,10 @@ object PngCodec {
     while (!ended) {
       if (i + 12 > b.length) return None // truncated chunk header
       val len = be32(b, i)
-      if (len < 0 || i + 12 + len > b.length) return None
+      // Long-widened bound: len near Int.MaxValue would overflow an Int
+      // sum, slip past the guard, and crash CRC32 — the never-throw
+      // contract needs the comparison, not the crash
+      if (len < 0 || i.toLong + 12L + len > b.length) return None
       val typ = new String(b, i + 4, 4, "US-ASCII")
       val crc = new CRC32
       crc.update(b, i + 4, 4 + len)
@@ -137,8 +140,13 @@ object PngCodec {
         ihdr(11) != 0 || ihdr(12) != 0) return None
 
     // ---- inflate to exactly h·(1+3w) filtered bytes ----
+    // Long math throughout: a caller-raised maxPixels could push 3·w or
+    // h·(1+3w) past Int.MaxValue — that is a None (unallocatable), not
+    // an overflow-driven NegativeArraySizeException
+    val expectL = h.toLong * (1L + 3L * w)
+    if (expectL > Int.MaxValue) return None
     val stride = 3 * w
-    val expect = h * (1 + stride)
+    val expect = expectL.toInt
     val filtered = new Array[Byte](expect)
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)

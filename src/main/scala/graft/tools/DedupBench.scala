@@ -155,8 +155,13 @@ object DedupBench {
         .count().toDouble / expected
     }
 
-    val fields = results.map { case (w, secs, found) =>
-      f""""$w":{"sec":$secs%.2f,"docs_per_sec":${nDocs / secs}%.0f,"found":$found}"""
+    val fields = results.map {
+      // a skipped stage must not print a fabricated rate — the same
+      // plausible-number-for-a-dead-stage defect Bench.measureQueries
+      // fixed this round
+      case (w, _, -1L) => s""""$w":{"skipped":true}"""
+      case (w, secs, found) =>
+        f""""$w":{"sec":$secs%.2f,"docs_per_sec":${nDocs / secs}%.0f,"found":$found}"""
     }.mkString(",")
     println(f"""{"dedup_bench":{"n_docs":$nDocs,"cpus":$cpus,$fields,"planted_recall":$recall%.4f,"substr_recall":$substrRecall%.4f,"cc_rounds":$ccRounds,"one_shot_skipped":${!runOneShot},"simhash_bucket_cap":$simhashCap}}""")
     spark.stop()

@@ -192,6 +192,46 @@ class DocValidatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cyclic"))
   }
 
+  test("recursive cut polarity: fail-closed under negation, refuse mixed") {
+    def nested(depth: Int): String = {
+      var n = """{"value":5}"""
+      (2 to depth).foreach(_ => n = s"""{"value":5,"children":[$n]}""")
+      s"""{"roots":[$n]}"""
+    }
+    val nodeDefs = Defs("d", Seq(AllOf("node", Seq(
+      Bounds("val_ok", "$.value", Some(BigDecimal(0)),
+        Some(BigDecimal(100))),
+      EachElement("kids", "$.children", DynamicRef("again", "#node"))))))
+
+    // NOT(tree): a past-budget instance must still be REJECTED — a
+    // naive false-cut under Not would flip to silent acceptance
+    val notTree = DocValidator.compile(ConstraintSuite("nt", Seq(
+      nodeDefs,
+      Not("no_tree",
+        EachElement("roots", "roots", DynamicRef("start", "#node")))),
+      dynamicAnchors = Seq("node")), maxUnroll = 3)
+    // shallow matching tree → inner true → rejected (plain semantics)
+    assert(!DocValidator.validate(notTree, nested(2)))
+    // DEEP matching tree → cut=true keeps inner true → still rejected
+    assert(!DocValidator.validate(notTree, nested(8)))
+    // non-tree (value out of range) → inner false → accepted
+    assert(DocValidator.validate(notTree,
+      """{"roots":[{"value":500}]}"""))
+
+    // a cut inside a NON-MONOTONE position (oneOf) has no sound
+    // constant: compile refuses with a descriptive error
+    val e = intercept[graft.compile.ConstraintCompiler.CompileException] {
+      DocValidator.compile(ConstraintSuite("mx", Seq(
+        nodeDefs,
+        OneOf("either", Seq(
+          EachElement("roots", "roots", DynamicRef("start", "#node")),
+          BoolSchema("alt", value = false)))),
+        dynamicAnchors = Seq("node")), maxUnroll = 2)
+    }
+    assert(e.getMessage.contains("non-monotone".toUpperCase.toLowerCase)
+      || e.getMessage.contains("NON-MONOTONE"))
+  }
+
   test("throughput sanity: per-document latency is microseconds") {
     val suite = DocValidator.compile(ConstraintSuite("hot", Seq(
       NotNull("id_req", "doc_id"),

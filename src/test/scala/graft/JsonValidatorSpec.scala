@@ -60,6 +60,27 @@ class JsonValidatorSpec extends SparkSpec {
     assert(typed == docEngine)
   }
 
+  test("typed path requires objects — the documented divergence") {
+    // a bare array / scalar / null literal is a VALID JSON document: the
+    // schema-free engine applies pass-on-null semantics, while the
+    // struct-schema'd typed path charges _document (its contract)
+    val nonObj = Seq(("n1", "[1,2]"), ("n2", "7"), ("n3", "null"))
+      .toDF("id", "js")
+    val relaxed = ConstraintSuite("r", Seq(
+      Bounds("n_max", "n_tok", None, Some(BigDecimal(100)))))
+    val free = JsonValidator
+      .verdicts(nonObj, "id", "js", JsonValidator.compile(relaxed))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(free == Map("n1" -> true, "n2" -> true, "n3" -> true))
+    val schema = StructType(Seq(StructField("n_tok", IntegerType)))
+    val typed = JsonValidator
+      .violationsTyped(nonObj, "id", "js", schema, relaxed)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(typed == Set(("n1", JsonValidator.DocumentConstraint),
+      ("n2", JsonValidator.DocumentConstraint),
+      ("n3", JsonValidator.DocumentConstraint)))
+  }
+
   test("round-trip: to_json of a typed table validates like the table") {
     val base = Seq(
       ("a", Seq(1, 2, 3), 3, "web"),

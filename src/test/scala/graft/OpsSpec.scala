@@ -603,6 +603,12 @@ class OpsSpec extends SparkSpec {
     assert(PngCodec.decode(good, maxPixels = 16L).isEmpty)
     assert(PngCodec.decode(Array.emptyByteArray).isEmpty)
     assert(PngCodec.decode("not a png at all".getBytes).isEmpty)
+    // crafted chunk length near Int.MaxValue: the bounds guard must not
+    // overflow into acceptance (was a CRC32 ArrayIndexOutOfBounds crash)
+    val crafted = good.clone()
+    crafted(8) = 0x7f.toByte; crafted(9) = 0xff.toByte
+    crafted(10) = 0xff.toByte; crafted(11) = 0xff.toByte
+    assert(PngCodec.decode(crafted).isEmpty)
   }
 
   test("multimodal: stub decode plumbing preserves schema and batches") {
@@ -663,6 +669,24 @@ class OpsSpec extends SparkSpec {
       .toDF("id", "text")
     assert(graft.ops.Dedup
       .substringPairs(short, "id", "text", runWords = 16).isEmpty)
+  }
+
+  test("substring dedup: degenerate boilerplate bucket stays linear and true") {
+    // every fingerprint bucket is oversized here (600 identical docs >
+    // cap 256); the fallback re-buckets those docs by EXACT run hashes,
+    // whose star pairs verify true by construction — output is linear
+    // and no true-sharing pair is silently dropped by the verify
+    val n = 600
+    val boiler = spark.range(n).selectExpr(
+      "concat('doc-', format_string('%04d', id)) as id",
+      "'exactly the same twenty word boilerplate text repeated in " +
+        "every document of this synthetic corpus for the degenerate " +
+        "bucket case' as text")
+    val pairs = graft.ops.Dedup
+      .substringPairs(boiler, "id", "text", runWords = 16, shingleK = 8)
+    assert(pairs.count() == (n - 1).toLong)
+    assert(pairs.filter($"id_a" === "doc-0000").count() == (n - 1).toLong)
+    assert(pairs.filter($"n_shared_runs" < 1).isEmpty)
   }
 
   test("decontamination hits are invariant under exact-duplicate rows") {
