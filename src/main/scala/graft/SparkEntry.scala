@@ -41,6 +41,22 @@ object SparkEntry {
   private val QProbs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
   private val QNames = Seq("q25", "q50", "q75", "q95", "q99")
 
+  /** Corpus for the substring-dedup queries: documents < 100 plus
+    * planted composites embedding the first 20 words of each source
+    * doc < 30 inside different surroundings — the construction the
+    * DuckDB oracle rebuilds verbatim. */
+  private def substrCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(F.col("doc_id"), F.col("text"))
+      .filter(F.col("doc_id") < 100)
+    val w = F.split(F.trim(F.col("text")), "\\s+")
+    val planted = d.filter(F.col("doc_id") < 30).select(
+      (F.col("doc_id") + 3000000).as("doc_id"),
+      F.concat(F.lit("prelude tokens before the copied span "),
+        F.array_join(F.slice(w, 1, 20), " "),
+        F.lit(" trailing padding after the span")).as("text"))
+    d.unionAll(planted)
+  }
+
   /** The row-local suite used by the validation queries (compiled once —
     * the compile-once/validate-many contract). */
   private val docSuite = ConstraintSuite("documents-v1", Seq(
@@ -325,17 +341,18 @@ object SparkEntry {
       // doc inside different surroundings — the Lee-et-al modality at
       // word granularity. The oracle brute-forces every pair's distinct
       // shared 16-grams from the same construction.
-      val d = docs(s, dir).select(F.col("doc_id"), F.col("text"))
-        .filter(F.col("doc_id") < 100)
-      val w = F.split(F.trim(F.col("text")), "\\s+")
-      val planted = d.filter(F.col("doc_id") < 30).select(
-        (F.col("doc_id") + 3000000).as("doc_id"),
-        F.concat(F.lit("prelude tokens before the copied span "),
-          F.array_join(F.slice(w, 1, 20), " "),
-          F.lit(" trailing padding after the span")).as("text"))
-      Dedup.substringPairs(d.unionAll(planted), "doc_id", "text",
+      Dedup.substringPairs(substrCorpus(s, dir), "doc_id", "text",
           runWords = 16, shingleK = 8)
         .orderBy("id_a", "id_b")
+    }),
+    "d_substr_staged" -> ((s, dir) => {
+      // the staged variant of d_substr — gram artifacts computed ONCE
+      // and MATERIALIZED (localCheckpoint standing in for the parquet
+      // staging table), then pair detection over the stage. Same oracle
+      // string as d_substr: the two paths cannot drift.
+      val grams = Dedup.substringGrams(substrCorpus(s, dir), "doc_id",
+        "text", runWords = 16, shingleK = 8).localCheckpoint()
+      Dedup.substringPairsFromGrams(grams).orderBy("id_a", "id_b")
     }),
     "d_ngram" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -614,6 +631,33 @@ object SparkEntry {
         |    FROM px), 6) AS mean_b
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
 
+  /** Shared by d_substr (one-shot) and d_substr_staged (materialized
+    * gram artifacts): one oracle string pins both paths. */
+  private val substrOracle =
+    """WITH corpus AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id, text
+      |  FROM documents WHERE doc_id < 100
+      |  UNION ALL
+      |  SELECT CAST(doc_id + 3000000 AS VARCHAR),
+      |    'prelude tokens before the copied span ' ||
+      |    array_to_string(
+      |      (regexp_split_to_array(trim(text), '\s+'))[1:20], ' ') ||
+      |    ' trailing padding after the span'
+      |  FROM documents WHERE doc_id < 30),
+      |g AS (
+      |  SELECT id, list_distinct(list_transform(range(1, len(w) - 14),
+      |      i -> array_to_string(w[i:i+15], ' '))) AS grams
+      |  FROM (SELECT id,
+      |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      |        FROM corpus)
+      |  WHERE len(w) >= 16)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(len(list_intersect(a.grams, b.grams)) AS INTEGER)
+      |    AS n_shared_runs
+      |FROM g a, g b
+      |WHERE a.id < b.id AND len(list_intersect(a.grams, b.grams)) >= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "m_resize" -> resizeOracle,
     "m_png" -> resizeOracle,
@@ -735,30 +779,8 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_dups,
         |  MIN(CAST(doc_id AS VARCHAR)) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
-    "d_substr" ->
-      """WITH corpus AS (
-        |  SELECT CAST(doc_id AS VARCHAR) AS id, text
-        |  FROM documents WHERE doc_id < 100
-        |  UNION ALL
-        |  SELECT CAST(doc_id + 3000000 AS VARCHAR),
-        |    'prelude tokens before the copied span ' ||
-        |    array_to_string(
-        |      (regexp_split_to_array(trim(text), '\s+'))[1:20], ' ') ||
-        |    ' trailing padding after the span'
-        |  FROM documents WHERE doc_id < 30),
-        |g AS (
-        |  SELECT id, list_distinct(list_transform(range(1, len(w) - 14),
-        |      i -> array_to_string(w[i:i+15], ' '))) AS grams
-        |  FROM (SELECT id,
-        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        |        FROM corpus)
-        |  WHERE len(w) >= 16)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |  CAST(len(list_intersect(a.grams, b.grams)) AS INTEGER)
-        |    AS n_shared_runs
-        |FROM g a, g b
-        |WHERE a.id < b.id AND len(list_intersect(a.grams, b.grams)) >= 1
-        |ORDER BY id_a, id_b""".stripMargin,
+    "d_substr" -> substrOracle,
+    "d_substr_staged" -> substrOracle,
     "d_ngram" ->
       """WITH g AS (
         |  SELECT CAST(doc_id AS VARCHAR) AS id,

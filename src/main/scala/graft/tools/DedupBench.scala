@@ -120,6 +120,16 @@ object DedupBench {
           runWords = 16, shingleK = 8).localCheckpoint()
         substrPairs.count()
       },
+      // staged variant: gram artifacts materialized once to parquet,
+      // pair detection reads the stage (no re-tokenization per branch)
+      time("substr_staged") {
+        val gramDir = s"/tmp/graft_dedup_bench/grams=$nDocs"
+        Dedup.substringGrams(docs, "doc_id", "text",
+          runWords = 16, shingleK = 8)
+          .write.mode("overwrite").parquet(gramDir)
+        Dedup.substringPairsFromGrams(
+          spark.read.parquet(gramDir)).count()
+      },
       time("decontam") {
         graft.ops.Decontaminate.contaminationHits(
           docs, "doc_id", "text",

@@ -92,6 +92,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowed mins agree with the naive sliding-min on random input") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val n = rnd.nextInt(50)
+      val w = 1 + rnd.nextInt(8)
+      // small value range on purpose: duplicate hash values exercise
+      // the deque's >= pop and the distinct pass
+      val xs = Array.fill(n)(rnd.nextInt(10).toLong)
+      val got = graft.functions.WinnowedMins
+        .minsAll(new GenericArrayData(xs), w).toSeq
+      val ww = math.min(w, math.max(n, 1))
+      val naive =
+        if (n == 0) Seq.empty[Long]
+        else xs.sliding(ww, 1).map(_.min).toSeq.distinct.sorted
+      assert(got == naive, s"n=$n w=$w xs=${xs.toSeq}")
+    }
+
+    // the winnowing guarantee on random texts: any two documents given
+    // a common run of w+k-1 tokens share at least one selected value
+    val k = 4; val w = 5
+    (1 to 50).foreach { i =>
+      val r = new scala.util.Random(1000 + i)
+      def words(m: Int) = Seq.fill(m)("t" + r.nextInt(5000))
+      val shared = words(w + k - 1).mkString(" ")
+      val a = (words(r.nextInt(10)) :+ shared) ++ words(r.nextInt(10))
+      val b = (words(r.nextInt(10)) :+ shared) ++ words(r.nextInt(10))
+      val df = Seq(("a", a.mkString(" ")), ("b", b.mkString(" ")))
+        .toDF("id", "text")
+      val ws = F.split(F.lower($"text"), "\\s+")
+      val common = df.select($"id", F.explode(graft.functions.WinnowedMins(
+          graft.functions.ShingleHashes(ws, k), w)).as("fp"))
+        .groupBy("fp").agg(F.countDistinct("id").as("n"))
+        .filter($"n" === 2).count()
+      assert(common >= 1, s"guarantee violated at seed ${1000 + i}")
+    }
+  }
+
   test("connected components agree with union-find on random graphs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
