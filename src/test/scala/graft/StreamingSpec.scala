@@ -44,6 +44,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("raw-JSON validation runs unchanged on a stream (JSONL firehose)") {
+    // JsonValidator's schema-free path is a stateless per-row map, so a
+    // STREAMING DataFrame flows through the same code: doc engine
+    // compiled once on the driver, applied per micro-batch record,
+    // malformed documents becoming violations — the streaming face of
+    // the reference's validate(template, json) contract
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)] // (id, raw json)
+    val compiled = graft.exec.JsonValidator.compile(
+      ConstraintSuite("js", Seq(
+        NotNull("id_req", "doc_id"),
+        Bounds("n_max", "n_tok", None, Some(BigDecimal(10))))))
+    val q = graft.exec.JsonValidator
+      .violations(mem.toDF().toDF("id", "js"), "id", "js", compiled)
+      .writeStream.format("memory").queryName("json_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        ("r1", """{"doc_id":"a","n_tok":3}"""),
+        ("r2", """{"n_tok":3}"""),
+        ("r3", """not json {"""))
+      q.processAllAvailable()
+      val b1 = spark.table("json_sink")
+        .select("doc_id", "constraint_id").as[(String, String)]
+        .collect().toSet
+      assert(b1 == Set(("r2", "id_req"),
+        ("r3", graft.exec.JsonValidator.DocumentConstraint)))
+      // later micro-batch appends through the same compiled suite
+      mem.addData(("r4", """{"doc_id":"d","n_tok":99}"""))
+      q.processAllAvailable()
+      assert(spark.table("json_sink").count() == 3)
+      assert(spark.table("json_sink")
+        .filter($"doc_id" === "r4" && $"constraint_id" === "n_max")
+        .count() == 1)
+    } finally q.stop()
+  }
+
   test("stateful dedup: duplicates detected ACROSS micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)] // (fingerprint key, doc_id)
