@@ -251,8 +251,18 @@ object ConstraintCompiler {
           case None => Some(visiting + (key -> Entry(cdepth, 1)))
         }
       def cut(id: String, name: String): Constraint = pol match {
-        case 1  => BoolSchema(id, value = false)
-        case -1 => BoolSchema(id, value = true) // negated → still rejects
+        // PRESENCE-GUARDED false: the cut must reject only instances
+        // that actually REACH this depth. A bare false would also fail
+        // shallow documents through PropertyValues (missing key
+        // evaluates the element with an absent scope) — over-strict is
+        // still wrong. Every cut sits under ≥1 container descent, so
+        // '$' (the nearest element/value scope) is always bound here.
+        case 1 => IfThen(id, NotNull(s"$id.present", "$"),
+          BoolSchema(s"$id.fail", value = false))
+        // under negation the IDENTITY true is the fail-closed cut: deep
+        // matching instances keep the inner schema true, so the
+        // enclosing Not rejects them; shallow instances see a no-op
+        case -1 => BoolSchema(id, value = true)
         case _ => throw new CompileException(
           s"Schema compilation failed: recursive ref '$name' exceeds " +
             s"the unroll budget ($maxUnroll) inside a NON-MONOTONE " +

@@ -180,11 +180,15 @@ object JsonSchemaImport {
                 "container boundary between entries — consumes no " +
                 "instance nesting, cannot terminate")
             case Some((_, n)) if n >= maxUnroll => pol match {
-              // fail-closed: reject past-budget instances — false in
-              // positive positions, true under negation; non-monotone
-              // positions admit no sound constant
+              // fail-closed AND presence-guarded: reject exactly the
+              // instances that reach this depth (a bare false would
+              // also fail shallow documents whose path never gets
+              // here); under negation the identity `true` keeps deep
+              // matches true so the enclosing not rejects them
               case 1 =>
-                out += BoolSchema(fresh(path, "depthCut"), value = false)
+                out += IfThen(fresh(path, "depthCut"),
+                  NotNull(fresh(path, "depthCutPresent"), path),
+                  BoolSchema(fresh(path, "depthCutFail"), value = false))
               case -1 =>
                 out += BoolSchema(fresh(path, "depthCut"), value = true)
               case _ => throw new ImportException(
