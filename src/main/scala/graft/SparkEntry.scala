@@ -168,6 +168,21 @@ object SparkEntry {
           jsonDocSuite)
         .orderBy("doc_id", "constraint_id")
     }),
+    "v_docjson_variant" -> ((s, dir) => {
+      // third execution path: Spark 4 VARIANT — one try_parse_json into
+      // the binary semi-structured type, per-column try_variant_get
+      // extractions, Catalyst validation. Shares the same oracle string
+      // as the other two paths: three engines, one contract.
+      import org.apache.spark.sql.types._
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      graft.exec.JsonValidator
+        .violationsVariant(jsonDocs(s, dir), "id", "js", docSchema,
+          jsonDocSuite)
+        .orderBy("doc_id", "constraint_id")
+    }),
     "v_unique" -> ((s, dir) => {
       val suite = ConstraintCompiler.compile(ConstraintSuite("u",
         Seq(Unique("uniq_orderkey", "l_orderkey"))))
@@ -686,6 +701,7 @@ object SparkEntry {
         |) ORDER BY doc_id, instance_path""".stripMargin,
     "v_docjson" -> docJsonOracle,
     "v_docjson_typed" -> docJsonOracle,
+    "v_docjson_variant" -> docJsonOracle,
     "v_violations" ->
       s"""SELECT * FROM (
          |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -127,6 +127,45 @@ object JsonValidator {
       .unionAll(malformed)
   }
 
+  /** VARIANT path (Spark 4's semi-structured binary type — the
+    * lakehouse-native storage shape for JSON columns): ONE
+    * `try_parse_json` into a variant, then per-column
+    * `try_variant_get` extractions feed the Catalyst engine. Sits
+    * between the other two paths' contracts: unparseable / NULL input
+    * charges [[DocumentConstraint]] (like both), while a valid
+    * NON-OBJECT document extracts null for every column and validates
+    * with pass-on-null applicability (like the schema-free engine,
+    * unlike `from_json`). Extractions are lenient try-casts; their
+    * coercion nuances follow the variant cast rules. On a table that
+    * already stores a variant column, skip the parse and feed the
+    * extractions directly — the scan then prunes shredded variant
+    * subcolumns. */
+  def violationsVariant(df: DataFrame, idCol: String, jsonCol: String,
+      schema: StructType, suite: ConstraintSuite,
+      registry: ConstraintRegistry = ConstraintRegistry.empty): DataFrame = {
+    val parsed = df.select(
+      F.col(idCol).cast("string").as("_doc_id"),
+      F.col(jsonCol).cast("string").as("_js"),
+      F.try_parse_json(F.col(jsonCol).cast("string")).as("_v"))
+    val badPred = F.col("_js").isNull || F.col("_v").isNull
+    val malformed = parsed.filter(badPred)
+      .select(F.col("_doc_id").as("doc_id"),
+        F.lit(DocumentConstraint).as("constraint_id"),
+        F.lit(DocumentExpected).as("expected"))
+    val typedRows = parsed.filter(!badPred)
+      .select((F.col("_doc_id") +: schema.fields.toSeq.map { f =>
+        // bracket path form: a field named "a.b" must not parse as
+        // a nested path
+        F.try_variant_get(F.col("_v"), s"$$['${f.name}']",
+          f.dataType.sql).as(f.name)
+      }): _*)
+    val compiled = ConstraintCompiler.compile(suite, registry)
+    Validator.validateWithDetails(typedRows, compiled, Seq.empty, "_doc_id")
+      .violations
+      .select("doc_id", "constraint_id", "expected")
+      .unionAll(malformed)
+  }
+
   private def pairs(df: DataFrame, idCol: String,
       jsonCol: String): Dataset[(String, String)] = {
     val spark = df.sparkSession

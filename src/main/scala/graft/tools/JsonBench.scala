@@ -93,8 +93,12 @@ object JsonBench {
       JsonValidator.violationsTyped(docs, "id", "js", docSchema, suite)
         .count()
     }
+    val (varSec, varRows) = time(3) {
+      JsonValidator.violationsVariant(docs, "id", "js", docSchema, suite)
+        .count()
+    }
 
-    println(f"""{"json_bench":{"n_docs":$nDocs,"cpus":$cpus,"doc_engine":{"sec":$docSec%.2f,"docs_per_sec":${nDocs / docSec}%.0f,"bad_docs":$docBad},"doc_engine_details":{"sec":$detailSec%.2f,"docs_per_sec":${nDocs / detailSec}%.0f,"violations":$detailRows},"typed_from_json":{"sec":$typedSec%.2f,"docs_per_sec":${nDocs / typedSec}%.0f,"violations":$typedRows}}}""")
+    println(f"""{"json_bench":{"n_docs":$nDocs,"cpus":$cpus,"doc_engine":{"sec":$docSec%.2f,"docs_per_sec":${nDocs / docSec}%.0f,"bad_docs":$docBad},"doc_engine_details":{"sec":$detailSec%.2f,"docs_per_sec":${nDocs / detailSec}%.0f,"violations":$detailRows},"typed_from_json":{"sec":$typedSec%.2f,"docs_per_sec":${nDocs / typedSec}%.0f,"violations":$typedRows},"variant":{"sec":$varSec%.2f,"docs_per_sec":${nDocs / varSec}%.0f,"violations":$varRows}}}""")
     spark.stop()
   }
 }

@@ -81,6 +81,32 @@ class JsonValidatorSpec extends SparkSpec {
       ("n3", JsonValidator.DocumentConstraint)))
   }
 
+  test("variant path: agrees with the doc engine incl. non-objects") {
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("n_tok", IntegerType),
+      StructField("tokens", ArrayType(IntegerType)),
+      StructField("source", StringType)))
+    val variant = JsonValidator
+      .violationsVariant(docs, "id", "js", schema, suite)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val docEngine = JsonValidator
+      .violations(docs, "id", "js", JsonValidator.compile(suite))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(variant == docEngine)
+
+    // valid NON-OBJECT documents: variant extracts null per column →
+    // pass-on-null, matching the schema-free engine (not from_json)
+    val nonObj = Seq(("n1", "[1,2]"), ("n2", "7"), ("n3", "null"))
+      .toDF("id", "js")
+    val relaxed = ConstraintSuite("r", Seq(
+      Bounds("n_max", "n_tok", None, Some(BigDecimal(100)))))
+    assert(JsonValidator
+      .violationsVariant(nonObj, "id", "js",
+        StructType(Seq(StructField("n_tok", IntegerType))), relaxed)
+      .isEmpty)
+  }
+
   test("round-trip: to_json of a typed table validates like the table") {
     val base = Seq(
       ("a", Seq(1, 2, 3), 3, "web"),
