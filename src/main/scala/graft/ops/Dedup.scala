@@ -338,10 +338,19 @@ object Dedup {
     val fpSizes = fps.groupBy("_fp")
       .agg(F.count(F.lit(1)).as("_fpn")).filter(F.col("_fpn") >= 2)
     val keyed = fps.join(fpSizes, Seq("_fp"))
-    val smallCands = bucketedPairs(
-      keyed.filter(F.col("_fpn") <= maxBucket).select("doc_id", "_fp"),
-      Seq("_fp"), "doc_id", Seq.empty, maxBucket)
-      .select("id_a", "id_b")
+    // small buckets pair INLINE over the already-sized frame (the
+    // collect_list agg keys on _fp like the join, so it adds no
+    // exchange) — routing through bucketedPairs here would recompute
+    // the sizes and double the full-fingerprint shuffle volume, which
+    // at 10^7 docs is the difference between fitting the shuffle disk
+    // and filling it
+    val member = F.struct(F.col("doc_id").as("_id"))
+    val smallCands = keyed.filter(F.col("_fpn") <= maxBucket)
+      .groupBy("_fp").agg(F.collect_list(member).as("_m"))
+      .select(F.explode(F.col("_m")).as("_a"), F.col("_m"))
+      .select(F.col("_a"), F.explode(F.col("_m")).as("_b"))
+      .filter(F.col("_a._id") < F.col("_b._id"))
+      .select(F.col("_a._id").as("id_a"), F.col("_b._id").as("id_b"))
     val bigDocs = keyed.filter(F.col("_fpn") > maxBucket)
       .select("doc_id").distinct()
     val bigRuns = bigDocs.join(grams, Seq("doc_id"))
