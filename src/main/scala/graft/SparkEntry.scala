@@ -77,6 +77,17 @@ object SparkEntry {
     Matches("src_shape", "source", "^src[0-9]+$"),
     TypeIs("nchars_int", "n_chars", "integer")))
 
+  /** One schema literal for every schema-known JSON path — editing it
+    * in one query but not its sibling would silently break the
+    * shared-oracle parity (the drift class substrCorpus exists for). */
+  private val docJsonSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+  }
+
   /** documents rendered as one raw JSON string per row (the JSONL
     * corpus shape). */
   private def jsonDocs(s: SparkSession, dir: String): DataFrame =
@@ -156,15 +167,10 @@ object SparkEntry {
     "v_docjson_typed" -> ((s, dir) => {
       // same documents, same suite, SCHEMA-KNOWN lowering: one
       // from_json projection onto typed columns, then the Catalyst
-      // engine (codegen). Shares v_docjson's oracle string — the two
+      // engine (codegen). Shares v_docjson's oracle string — the
       // execution paths are pinned to identical results.
-      import org.apache.spark.sql.types._
-      val docSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
       graft.exec.JsonValidator
-        .violationsTyped(jsonDocs(s, dir), "id", "js", docSchema,
+        .violationsTyped(jsonDocs(s, dir), "id", "js", docJsonSchema,
           jsonDocSuite)
         .orderBy("doc_id", "constraint_id")
     }),
@@ -173,13 +179,8 @@ object SparkEntry {
       // the binary semi-structured type, per-column try_variant_get
       // extractions, Catalyst validation. Shares the same oracle string
       // as the other two paths: three engines, one contract.
-      import org.apache.spark.sql.types._
-      val docSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
       graft.exec.JsonValidator
-        .violationsVariant(jsonDocs(s, dir), "id", "js", docSchema,
+        .violationsVariant(jsonDocs(s, dir), "id", "js", docJsonSchema,
           jsonDocSuite)
         .orderBy("doc_id", "constraint_id")
     }),
@@ -598,11 +599,12 @@ object SparkEntry {
     "(doc_id IS NOT NULL) AND (n_chars <= 400) AND " +
       "(lang IN ('en','de','fr','es')) AND (n_chars = length(text))"
 
-  /** Shared by v_docjson (doc-engine map) and v_docjson_typed
-    * (from_json + Catalyst): one oracle string pins both execution
-    * paths to identical results, re-derived from the TYPED columns the
-    * JSON was rendered from. `expected` texts are the compiler's own
-    * `expectedOf` renderings. */
+  /** Shared by v_docjson (doc-engine map), v_docjson_typed
+    * (from_json + Catalyst) and v_docjson_variant (Spark 4 variant):
+    * ONE oracle string pins all three execution paths to identical
+    * results, re-derived from the TYPED columns the JSON was rendered
+    * from. `expected` texts are the compiler's own `expectedOf`
+    * renderings. */
   private val docJsonOracle =
     """SELECT * FROM (
       |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,

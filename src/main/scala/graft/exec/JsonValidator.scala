@@ -139,10 +139,21 @@ object JsonValidator {
     * coercion nuances follow the variant cast rules. On a table that
     * already stores a variant column, skip the parse and feed the
     * extractions directly — the scan then prunes shredded variant
-    * subcolumns. */
+    * subcolumns.
+    *
+    * Duplicate-key documents: `parse_json` REJECTS duplicate object
+    * keys by default, so `{"a":1,"a":2}` is charged to
+    * [[DocumentConstraint]] here while the sibling engines apply
+    * Jackson/from_json last-key-wins. Scraped corpora that need
+    * last-key-wins on this path set
+    * `spark.sql.variant.allowDuplicateKeys=true` (spec-pinned). */
   def violationsVariant(df: DataFrame, idCol: String, jsonCol: String,
       schema: StructType, suite: ConstraintSuite,
       registry: ConstraintRegistry = ConstraintRegistry.empty): DataFrame = {
+    schema.fieldNames.foreach(n =>
+      require(!n.contains("'") && !n.contains("\\"),
+        s"variant path cannot address field '$n' (quote/backslash in " +
+          "the name) — use violationsTyped for such schemas"))
     val parsed = df.select(
       F.col(idCol).cast("string").as("_doc_id"),
       F.col(jsonCol).cast("string").as("_js"),

@@ -10,9 +10,10 @@ import graft.exec.JsonValidator
 
 /**
  * Raw-JSON-document validation throughput: a parquet-materialized
- * corpus of JSON strings (the JSONL shape) timed through BOTH
+ * corpus of JSON strings (the JSONL shape) timed through all THREE
  * execution paths — the schema-free document engine in a distributed
- * map, and the from_json + Catalyst lowering. Prints one JSON line.
+ * map, the from_json + Catalyst lowering, and the Spark 4 variant
+ * lowering. Prints one JSON line.
  * Run: `sbt "runMain graft.tools.JsonBench [nDocs] [cpus]"`.
  */
 object JsonBench {
@@ -80,6 +81,8 @@ object JsonBench {
     JsonValidator.verdicts(docs.limit(10000), "id", "js", compiled)
       .filter(!F.col("ok")).count()
     JsonValidator.violationsTyped(docs.limit(10000), "id", "js",
+      docSchema, suite).count()
+    JsonValidator.violationsVariant(docs.limit(10000), "id", "js",
       docSchema, suite).count()
 
     val (docSec, docBad) = time(3) {

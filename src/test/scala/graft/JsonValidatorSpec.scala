@@ -105,6 +105,32 @@ class JsonValidatorSpec extends SparkSpec {
       .violationsVariant(nonObj, "id", "js",
         StructType(Seq(StructField("n_tok", IntegerType))), relaxed)
       .isEmpty)
+
+    // duplicate-key contract: parse_json rejects duplicates by default
+    // (→ _document), while the sibling engines apply last-key-wins;
+    // the documented conf restores last-key-wins on this path
+    val dup = Seq(("d1", """{"n_tok":1,"n_tok":500}""")).toDF("id", "js")
+    val viaVariant = JsonValidator.violationsVariant(dup, "id", "js",
+      StructType(Seq(StructField("n_tok", IntegerType))), relaxed)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaVariant == Set(("d1", JsonValidator.DocumentConstraint)))
+    assert(JsonValidator
+      .violations(dup, "id", "js", JsonValidator.compile(relaxed))
+      .collect().map(_.getString(1)).toSet == Set("n_max")) // last wins
+    val conf = spark.conf
+    conf.set("spark.sql.variant.allowDuplicateKeys", "true")
+    try {
+      val lenient = JsonValidator.violationsVariant(dup, "id", "js",
+        StructType(Seq(StructField("n_tok", IntegerType))), relaxed)
+        .collect().map(_.getString(1)).toSet
+      assert(lenient == Set("n_max"))
+    } finally conf.unset("spark.sql.variant.allowDuplicateKeys")
+
+    // quote/backslash field names refuse loudly (variant path syntax)
+    assert(intercept[IllegalArgumentException] {
+      JsonValidator.violationsVariant(nonObj, "id", "js",
+        StructType(Seq(StructField("it's", IntegerType))), relaxed)
+    }.getMessage.contains("violationsTyped"))
   }
 
   test("round-trip: to_json of a typed table validates like the table") {
