@@ -109,9 +109,85 @@ object PartitionedRunner {
       report.violations.write.mode(SaveMode.Append).parquet(out)
     }
 
+    checkpoint.append(checkpointEntries(
+      table, report.verdicts, suite.constraintHash, runId, pending))
+    RunResult(runId, pending, skipped, report.verdicts, report.violations)
+  }
+
+  /**
+   * Resumable validation of a partitioned RAW-JSON corpus — the
+   * reference's literal instance shape (a JSON string per row) under
+   * the north rule's checkpoint/lineage contract. The suite compiles
+   * for the DOCUMENT engine once on the driver; each pending partition
+   * is scanned once, every row gets a doc-engine verdict (malformed →
+   * invalid, never a crash), verdicts aggregate per partition and land
+   * in the same checkpoint table `run` uses. The constraint hash is
+   * prefixed (`docjson:`) so the same suite validated through the
+   * typed-column engine and through this path keep distinct lineages.
+   */
+  def runJson(
+      table: TableProvider,
+      suite: graft.dsl.ConstraintSuite,
+      checkpoint: CheckpointStore,
+      runId: String,
+      jsonCol: String = "js",
+      registry: graft.registry.ConstraintRegistry =
+        graft.registry.ConstraintRegistry.empty,
+      idCol: String = "doc_id",
+      violationsOut: Option[String] = None,
+      maxPartitions: Int = Int.MaxValue): RunResult = {
+    val spark = checkpoint.load().sparkSession
+    val compiled = graft.exec.JsonValidator.compile(suite, registry)
+    val chash = "docjson:" + graft.compile.ConstraintCompiler.hashOf(
+      graft.compile.ConstraintCompiler.resolve(suite, registry))
+
+    val pendingAll = checkpoint.pending(table, chash)
+    val pending = pendingAll.take(maxPartitions)
+    val skipped = table.partitions().diff(pendingAll)
+    if (pending.isEmpty) {
+      import spark.implicits._
+      return RunResult(runId, Seq.empty, skipped,
+        spark.emptyDataFrame,
+        Seq.empty[(String, String, String)]
+          .toDF("doc_id", "constraint_id", "expected"))
+    }
+
+    val df = table.scan(pending)
+    // per-row doc-engine verdict with the partition columns carried
+    // through (JsonValidator.verdicts projects them away)
+    val okSchema = df.schema.add("_ok",
+      org.apache.spark.sql.types.BooleanType, nullable = false)
+    val withOk = df.mapPartitions { it =>
+      it.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+
+        graft.exec.JsonValidator.check(
+          compiled, r.getAs[String](jsonCol))))
+    }(org.apache.spark.sql.Encoders.row(okSchema))
+    val verdicts = withOk
+      .groupBy(table.partitionCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n_rows"),
+        F.sum(F.when(!F.col("_ok"), 1L).otherwise(0L)).as("n_bad_rows"))
+      .withColumn("valid", F.col("n_bad_rows") === 0L)
+
+    val violations = graft.exec.JsonValidator
+      .violations(df, idCol, jsonCol, compiled)
+    violationsOut.foreach { out =>
+      violations.write.mode(SaveMode.Append).parquet(out)
+    }
+
+    checkpoint.append(
+      checkpointEntries(table, verdicts, chash, runId, pending))
+    RunResult(runId, pending, skipped, verdicts, violations)
+  }
+
+  /** Collect per-partition verdict rows into checkpoint entries, plus
+    * vacuous entries for pending partitions whose scan produced zero
+    * rows (they emit no verdict row and would otherwise be re-queued
+    * and re-scanned on every run forever). */
+  private def checkpointEntries(table: TableProvider, verdicts: DataFrame,
+      constraintHash: String, runId: String,
+      pending: Seq[String]): Seq[CheckpointEntry] = {
     // Verdicts are small (one row per partition) — collect for checkpoint.
-    val verdictRows = report.verdicts.collect()
-    val entries = verdictRows.map { r =>
+    val entries = verdicts.collect().map { r =>
       // multi-column partition specs render as col1=v1/col2=v2 — the same
       // form TableProvider.partitions() emits. The verdict carries
       // DECODED values while directory names are Hive-ESCAPED
@@ -129,20 +205,16 @@ object PartitionedRunner {
       CheckpointEntry(
         partition = pname,
         snapshot_id = table.snapshotId(pname),
-        constraint_hash = suite.constraintHash,
+        constraint_hash = constraintHash,
         valid = r.getAs[Boolean]("valid"),
         n_rows = r.getAs[Long]("n_rows"),
         n_bad_rows = r.getAs[Long]("n_bad_rows"),
         run_id = runId)
     }
-    // A pending partition whose scan produced ZERO rows emits no verdict
-    // row — checkpoint it as vacuously valid (n_rows = 0) or it would be
-    // re-queued and re-scanned on every run forever.
     val seen = entries.map(_.partition).toSet
     val empties = pending.filterNot(seen).map(p => CheckpointEntry(
-      p, table.snapshotId(p), suite.constraintHash,
+      p, table.snapshotId(p), constraintHash,
       valid = true, n_rows = 0L, n_bad_rows = 0L, run_id = runId))
-    checkpoint.append(entries.toSeq ++ empties)
-    RunResult(runId, pending, skipped, report.verdicts, report.violations)
+    entries.toSeq ++ empties
   }
 }

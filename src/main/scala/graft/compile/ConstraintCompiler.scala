@@ -944,8 +944,10 @@ object ConstraintCompiler {
       throw new CompileException(s"not a dataset-level constraint: $other")
   }
 
-  /** Stable identity of the compiled suite for checkpoint lineage. */
-  private def hashOf(suite: ConstraintSuite): String = {
+  /** Stable identity of the compiled suite for checkpoint lineage
+    * (also consumed by the JSON-corpus runner, which compiles with the
+    * DOCUMENT engine but checkpoints by the same suite identity). */
+  private[graft] def hashOf(suite: ConstraintSuite): String = {
     val canon = ConstraintJson.renderSuite(suite)
     val md = MessageDigest.getInstance("SHA-256")
     md.digest(canon.getBytes(StandardCharsets.UTF_8))

@@ -185,7 +185,9 @@ object JsonValidator {
       .as[(String, String)]
   }
 
-  private def check(suite: CompiledDocSuite, js: String): Boolean =
+  /** Per-row verdict of the schema-free path (malformed/NULL → false) —
+    * shared with the resumable JSON-corpus runner. */
+  private[graft] def check(suite: CompiledDocSuite, js: String): Boolean =
     js != null && (try DocValidator.validate(suite, js)
     catch { case _: IllegalArgumentException => false })
 }
