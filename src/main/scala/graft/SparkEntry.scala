@@ -184,6 +184,23 @@ object SparkEntry {
           jsonDocSuite)
         .orderBy("doc_id", "constraint_id")
     }),
+    "v_docjson_varcol" -> ((s, dir) => {
+      // fourth execution path: the table PERSISTS a VariantType column
+      // (the lakehouse storage shape) — parse once at write time, then
+      // validate straight off the stored binary: NO parse_json in the
+      // read plan, and a shredded variant scan prunes to the addressed
+      // subcolumns. Shares the same oracle string as the other three.
+      val vdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft-varcol-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      jsonDocs(s, dir)
+        .select(F.col("id"), F.try_parse_json(F.col("js")).as("v"))
+        .write.mode("overwrite").parquet(vdir)
+      graft.exec.JsonValidator
+        .violationsVariantColumn(s.read.parquet(vdir), "id", "v",
+          docJsonSchema, jsonDocSuite)
+        .orderBy("doc_id", "constraint_id")
+    }),
     "v_unique" -> ((s, dir) => {
       val suite = ConstraintCompiler.compile(ConstraintSuite("u",
         Seq(Unique("uniq_orderkey", "l_orderkey"))))
@@ -609,24 +626,27 @@ object SparkEntry {
     """SELECT * FROM (
       |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
       |         'nchars_max' AS constraint_id,
+      |         CAST(n_chars AS VARCHAR) AS observed,
       |         'n_chars <= 400' AS expected
       |  FROM documents WHERE n_chars > 400
       |  UNION ALL
-      |  SELECT CAST(doc_id AS VARCHAR), 'lang_known',
+      |  SELECT CAST(doc_id AS VARCHAR), 'lang_known', lang,
       |         'lang in {en, de, fr, es}'
       |  FROM documents
       |  WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
       |  UNION ALL
       |  SELECT CAST(doc_id AS VARCHAR), 'text_min',
+      |         'len=' || CAST(length(text) AS VARCHAR),
       |         'length(text) in [200, ∞]'
       |  FROM documents WHERE text IS NOT NULL AND length(text) < 200
       |  UNION ALL
-      |  SELECT CAST(doc_id AS VARCHAR), 'src_shape',
+      |  SELECT CAST(doc_id AS VARCHAR), 'src_shape', source,
       |         'source matches /^src[0-9]+$/'
       |  FROM documents
       |  WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
       |  UNION ALL
-      |  SELECT CAST(doc_id AS VARCHAR), 'docid_nn', 'doc_id not null'
+      |  SELECT CAST(doc_id AS VARCHAR), 'docid_nn', 'null',
+      |         'doc_id not null'
       |  FROM documents WHERE doc_id IS NULL
       |) ORDER BY doc_id, constraint_id""".stripMargin
 
@@ -704,6 +724,7 @@ object SparkEntry {
     "v_docjson" -> docJsonOracle,
     "v_docjson_typed" -> docJsonOracle,
     "v_docjson_variant" -> docJsonOracle,
+    "v_docjson_varcol" -> docJsonOracle,
     "v_violations" ->
       s"""SELECT * FROM (
          |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,

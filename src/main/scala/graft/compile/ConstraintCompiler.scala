@@ -725,8 +725,10 @@ object ConstraintCompiler {
   // Violation metadata (observed / expected) per top-level constraint
   // ------------------------------------------------------------------
 
-  /** Column paths a constraint reads (element scope excluded). */
-  private def refCols(c: Constraint): Seq[String] = {
+  /** Column paths a constraint reads (element scope excluded). Shared
+    * with the doc engine's `observed` rendering so both engines
+    * summarize the same columns. */
+  private[graft] def refCols(c: Constraint): Seq[String] = {
     val buf = scala.collection.mutable.LinkedHashSet[String]()
     Constraint.walk(c) {
       case NotNull(_, col)            => if (!col.startsWith("$")) buf += col

@@ -27,7 +27,8 @@ import graft.registry.ConstraintRegistry
  */
 object DocValidator {
 
-  final case class DocViolation(constraintId: String, expected: String)
+  final case class DocViolation(constraintId: String, observed: String,
+      expected: String)
 
   /** Compile-once artifact for the document path: resolved AST +
     * the row-local/top-level split. Immutable and thread-safe. */
@@ -75,7 +76,8 @@ object DocValidator {
     val doc = parse(json)
     suite.checks.collect {
       case c if !evalPred(c, doc, None) =>
-        DocViolation(c.id, ConstraintCompiler.expectedOf(c))
+        DocViolation(c.id, observedOf(c, doc),
+          ConstraintCompiler.expectedOf(c))
     }
   }
 
@@ -337,5 +339,100 @@ object DocValidator {
         _: NoArrayDrift | _: ExprIs) =>
       throw new IllegalArgumentException(
         s"'${c.id}' is not evaluable on a single document")
+  }
+
+  // ---- violation `observed` rendering ------------------------------
+
+  /** Scalar content of a node for observed text — the analogue of
+    * `cast("string")`: text verbatim, numbers/booleans by their JSON
+    * literal; containers fall back to compact JSON (the table engine
+    * refuses scalar checks on containers, so no parity obligation). */
+  private def content(n: JsonNode): String =
+    str(n).getOrElse(n.toString)
+
+  /** First-8-keys JSON summary — parity with the compiler's
+    * `keySummary` (`to_json(slice(keys,1,8))` + " +N more"). */
+  private def keySummary(keys: Seq[String]): String = {
+    val head = mapper.writeValueAsString(keys.take(8).toArray)
+    if (keys.size > 8) s"$head +${keys.size - 8} more" else head
+  }
+
+  /** The violation row's `observed` field — mirrors the compiler's
+    * `observedOf` (ConstraintCompiler.scala:777) case for case, so a
+    * document failing the same constraint renders the same observed
+    * text on every engine (the shared v_docjson oracle pins this for
+    * the driver suite). Missing/null values render "null", matching the
+    * Catalyst side's `coalesce(observed, 'null')`. Top-level only —
+    * detail rows are per top-level constraint on both engines. */
+  private[exec] def observedOf(c: Constraint, doc: JsonNode): String = {
+    def node(col: String): Option[JsonNode] = at(doc, col, None)
+    def sized(col: String): String =
+      node(col).flatMap(elems).map(xs => s"size=${xs.size}")
+        .getOrElse("null")
+    def keysOf(col: String): Seq[String] =
+      node(col).flatMap(fields).map(_.map(_._1)).getOrElse(Seq.empty)
+    c match {
+      case SizeBounds(_, col, _, _)          => sized(col)
+      case EachElement(_, col, _)            => sized(col)
+      case EachElementFrom(_, col, _, _)     => sized(col)
+      case ContainsCount(_, col, _, _, _)    => sized(col)
+      case PrefixItems(_, col, _)            => sized(col)
+      case UnevaluatedItems(_, col, _)       => sized(col)
+      case UniqueItems(_, col) =>
+        node(col).flatMap(elems).map { xs =>
+          // same element-identity keys as the verdict (numbers by
+          // value, containers canonicalized) — array_distinct on the
+          // equivalent typed column coerces identically
+          val keys = xs.map(x => numeric(x)
+            .map(d => "n:" +
+              d.bigDecimal.stripTrailingZeros.toPlainString)
+            .getOrElse(
+              if (x.isContainerNode) "c:" + canonical(x)
+              else "v:" + x.toString))
+          s"distinct=${keys.distinct.size}/${keys.size}"
+        }.getOrElse("null")
+      case KeysIn(_, col, allowed) =>
+        keySummary(keysOf(col).filter(k =>
+          allowed.isEmpty || !allowed.contains(k)))
+      case KeyCountBounds(_, col, _, _) =>
+        node(col).flatMap(fields).map(fs => s"n_keys=${fs.size}")
+          .getOrElse("null")
+      case EachKey(_, col, _) => keySummary(keysOf(col))
+      case PropertyValues(_, col, k, _) =>
+        node(col).flatMap(fields)
+          .flatMap(_.collectFirst { case (key, x) if key == k => x })
+          .filterNot(x => x.isMissingNode || x.isNull)
+          .map(content).getOrElse("null")
+      case PatternValues(_, col, p, _) =>
+        keySummary(keysOf(col).filter(find(p, _)))
+      case UnevaluatedProperties(_, col, _, ks, ps) =>
+        keySummary(keysOf(col).filterNot(k =>
+          ks.contains(k) || ps.exists(find(_, k))))
+      case SizeConsistency(_, i, a) =>
+        (node(i), node(a).flatMap(elems)) match {
+          case (Some(iv), Some(xs)) => s"${content(iv)}!=size:${xs.size}"
+          case _                    => "null"
+        }
+      case LengthBounds(_, col, _, _) =>
+        node(col).flatMap(str)
+          .map(s => s"len=${s.codePointCount(0, s.length)}")
+          .getOrElse("null")
+      case other =>
+        val cols = ConstraintCompiler.refCols(other)
+        if (cols.isEmpty) ""
+        else if (cols.sizeIs == 1)
+          node(cols.head).map(content).getOrElse("null")
+        else {
+          // to_json(struct(cols…)) parity: JSON object keyed by the
+          // LEAF field name (struct(col("a.b")) names the field "b"),
+          // null/missing fields omitted, insertion order kept
+          val o = mapper.createObjectNode()
+          cols.foreach { cpath =>
+            node(cpath).foreach(v =>
+              o.set[JsonNode](cpath.split('.').last, v))
+          }
+          mapper.writeValueAsString(o)
+        }
+    }
   }
 }

@@ -41,6 +41,19 @@ object JsonValidator {
   val DocumentConstraint = "_document"
   private val DocumentExpected = "a valid JSON document"
 
+  /** `observed` for [[DocumentConstraint]] rows: the first 64 code
+    * points of the raw text ("null" for a NULL document) — enough to
+    * triage what arrived without widening violation rows at 10^12-row
+    * scale. All three paths render identically (code points, not UTF-16
+    * units, matching Spark's `substring`). */
+  private val DocumentObservedLen = 64
+  private def truncDoc(js: String): String =
+    if (js == null) "null"
+    else if (js.codePointCount(0, js.length) <= DocumentObservedLen) js
+    else js.substring(0, js.offsetByCodePoints(0, DocumentObservedLen))
+  private def truncDocCol(js: org.apache.spark.sql.Column) =
+    F.coalesce(F.substring(js, 1, DocumentObservedLen), F.lit("null"))
+
   def compile(suite: ConstraintSuite,
       registry: ConstraintRegistry = ConstraintRegistry.empty): CompiledDocSuite =
     DocValidator.compile(suite, registry)
@@ -58,27 +71,35 @@ object JsonValidator {
     }.toDF("doc_id", "ok")
   }
 
-  /** Detail path: `(doc_id, constraint_id, expected)` — one row per
-    * failing top-level constraint, with the compiler's own `expected`
-    * rendering (identical text to the Catalyst engine's violations). */
+  /** Detail path: `(doc_id, constraint_id, observed, expected)` — one
+    * row per failing top-level constraint, with the compiler's own
+    * `expected` rendering and the doc engine's `observed` mirror of
+    * `observedOf` (identical text to the Catalyst engine's violations —
+    * the north rule's four-field violation shape, the reference's
+    * `ValidationError.message` carries the same observed value). */
   def violations(df: DataFrame, idCol: String, jsonCol: String,
       compiled: CompiledDocSuite): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     pairs(df, idCol, jsonCol).mapPartitions { it =>
-      it.flatMap { case (id, js) =>
-        if (js == null)
-          Iterator((id, DocumentConstraint, DocumentExpected))
-        else try {
-          DocValidator.validateWithDetails(compiled, js).iterator
-            .map(v => (id, v.constraintId, v.expected))
-        } catch {
-          case _: IllegalArgumentException =>
-            Iterator((id, DocumentConstraint, DocumentExpected))
-        }
-      }
-    }.toDF("doc_id", "constraint_id", "expected")
+      it.flatMap { case (id, js) => detailRows(compiled, id, js) }
+    }.toDF("doc_id", "constraint_id", "observed", "expected")
   }
+
+  /** One (doc_id, constraint_id, observed, expected) tuple per failing
+    * constraint of one document — shared by [[violations]] and the
+    * single-pass resumable runner. */
+  private[graft] def detailRows(compiled: CompiledDocSuite, id: String,
+      js: String): Iterator[(String, String, String, String)] =
+    if (js == null)
+      Iterator((id, DocumentConstraint, truncDoc(js), DocumentExpected))
+    else try {
+      DocValidator.validateWithDetails(compiled, js).iterator
+        .map(v => (id, v.constraintId, v.observed, v.expected))
+    } catch {
+      case _: IllegalArgumentException =>
+        Iterator((id, DocumentConstraint, truncDoc(js), DocumentExpected))
+    }
 
   /** Schema-known path: lower the JSON column onto typed columns with
     * ONE `from_json` projection, then run the CATALYST engine — codegen
@@ -114,6 +135,7 @@ object JsonValidator {
     val malformed = parsed.filter(badPred)
       .select(F.col("_doc_id").as("doc_id"),
         F.lit(DocumentConstraint).as("constraint_id"),
+        truncDocCol(F.col("_js")).as("observed"),
         F.lit(DocumentExpected).as("expected"))
     val typedRows = parsed.filter(!badPred) // isNull/isNotNull never null
       // getField, not a string path: a field literally named "a.b"
@@ -123,7 +145,7 @@ object JsonValidator {
     val compiled = ConstraintCompiler.compile(suite, registry)
     Validator.validateWithDetails(typedRows, compiled, Seq.empty, "_doc_id")
       .violations
-      .select("doc_id", "constraint_id", "expected")
+      .select("doc_id", "constraint_id", "observed", "expected")
       .unionAll(malformed)
   }
 
@@ -158,10 +180,44 @@ object JsonValidator {
       F.col(idCol).cast("string").as("_doc_id"),
       F.col(jsonCol).cast("string").as("_js"),
       F.try_parse_json(F.col(jsonCol).cast("string")).as("_v"))
-    val badPred = F.col("_js").isNull || F.col("_v").isNull
+    variantDetail(parsed, F.col("_js").isNull || F.col("_v").isNull,
+      truncDocCol(F.col("_js")), schema, suite, registry)
+  }
+
+  /** PRE-STORED variant path: the lakehouse table already persists a
+    * `VariantType` column (the shape [[violationsVariant]]'s scaladoc
+    * recommends), so there is NO parse step — `try_variant_get`
+    * extractions run straight off the stored binary, and a shredded
+    * variant scan prunes to the addressed subcolumns. A NULL variant
+    * (the writer's representation of an absent / unparseable source
+    * document) is charged to [[DocumentConstraint]]; its `observed`
+    * renders "null" — the raw text is not in hand on this path. */
+  def violationsVariantColumn(df: DataFrame, idCol: String,
+      variantCol: String, schema: StructType, suite: ConstraintSuite,
+      registry: ConstraintRegistry = ConstraintRegistry.empty): DataFrame = {
+    val parsed = df.select(
+      F.col(idCol).cast("string").as("_doc_id"),
+      F.col(variantCol).as("_v"))
+    variantDetail(parsed, F.col("_v").isNull, F.lit("null"),
+      schema, suite, registry)
+  }
+
+  /** Shared tail of the two variant paths: extraction projection +
+    * Catalyst validation + the malformed union. `parsed` must carry
+    * `_doc_id` and `_v`. */
+  private def variantDetail(parsed: DataFrame,
+      badPred: org.apache.spark.sql.Column,
+      badObserved: org.apache.spark.sql.Column, schema: StructType,
+      suite: ConstraintSuite,
+      registry: ConstraintRegistry): DataFrame = {
+    schema.fieldNames.foreach(n =>
+      require(!n.contains("'") && !n.contains("\\"),
+        s"variant path cannot address field '$n' (quote/backslash in " +
+          "the name) — use violationsTyped for such schemas"))
     val malformed = parsed.filter(badPred)
       .select(F.col("_doc_id").as("doc_id"),
         F.lit(DocumentConstraint).as("constraint_id"),
+        badObserved.as("observed"),
         F.lit(DocumentExpected).as("expected"))
     val typedRows = parsed.filter(!badPred)
       .select((F.col("_doc_id") +: schema.fields.toSeq.map { f =>
@@ -173,7 +229,7 @@ object JsonValidator {
     val compiled = ConstraintCompiler.compile(suite, registry)
     Validator.validateWithDetails(typedRows, compiled, Seq.empty, "_doc_id")
       .violations
-      .select("doc_id", "constraint_id", "expected")
+      .select("doc_id", "constraint_id", "observed", "expected")
       .unionAll(malformed)
   }
 

@@ -188,7 +188,10 @@ class CheckpointSpec extends SparkSpec {
     import org.apache.spark.sql.{functions => F}
     val base = Files.createTempDirectory("graft-cp-json").toString
     // partitioned JSONL-shaped table: (doc_id, js) under source=…;
-    // n_tok 500 planted for src1 rows, one malformed doc in src2
+    // n_tok 9999 planted for src1 rows, one malformed doc whose source
+    // the test DERIVES from the generator (never assumes)
+    val malformedSrc =
+      SequenceGen.row(42L, 42L, nSources = 4, plantViolations = true).source
     SequenceGen.generate(spark, 4000L, nSources = 4, numPartitions = 4)
       .toDF()
       .select(F.col("source"), F.col("doc_id"),
@@ -206,9 +209,15 @@ class CheckpointSpec extends SparkSpec {
     val cp = new CheckpointStore(spark, s"$base/checkpoint")
 
     // kill after 2 partitions, resume, converge
+    val rows0 = PartitionedRunner.docEngineRows.get()
     val r1 = PartitionedRunner.runJson(table, jsonSuite, cp, "j1",
       violationsOut = Some(s"$base/viol"), maxPartitions = 2)
     assert(r1.processed.size == 2)
+    // SINGLE PASS: even with BOTH outputs consumed (violations written,
+    // verdicts checkpointed), the doc engine evaluated each pending row
+    // exactly once — a second scan would double this delta
+    assert(PartitionedRunner.docEngineRows.get() - rows0 ==
+      table.scan(r1.processed).count())
     val r2 = PartitionedRunner.runJson(table, jsonSuite, cp, "j2",
       violationsOut = Some(s"$base/viol"))
     assert(r2.skipped.toSet == r1.processed.toSet)
@@ -221,11 +230,15 @@ class CheckpointSpec extends SparkSpec {
     val bySrc = rows.map(r => r.getAs[String]("partition") ->
       r.getAs[Boolean]("valid")).toMap
     assert(!bySrc("source=src1"))
+    assert(!bySrc(s"source=$malformedSrc"))
     assert(rows.map(_.getAs[Long]("n_rows")).sum == 4000L)
-    // accumulated violations: every src1 doc + the malformed one
+    // accumulated violations: every src1 doc gets n_max EXCEPT the
+    // malformed one if it landed in src1 (unparseable rows are charged
+    // to _document, not to the suite's constraints)
     val viol = spark.read.parquet(s"$base/viol")
     assert(viol.filter($"constraint_id" === "n_max").count() ==
-      table.scan(Seq("source=src1")).count())
+      table.scan(Seq("source=src1")).count() -
+        (if (malformedSrc == "src1") 1L else 0L))
     assert(viol.filter($"constraint_id" ===
       graft.exec.JsonValidator.DocumentConstraint).count() == 1L)
 

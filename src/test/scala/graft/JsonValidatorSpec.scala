@@ -51,12 +51,18 @@ class JsonValidatorSpec extends SparkSpec {
       StructField("n_tok", IntegerType),
       StructField("tokens", ArrayType(IntegerType)),
       StructField("source", StringType)))
+    // FULL four-field parity (incl. observed/expected rendering) — the
+    // shared-oracle contract is that the engines emit identical rows
     val typed = JsonValidator
       .violationsTyped(docs, "id", "js", schema, suite)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
     val docEngine = JsonValidator
       .violations(docs, "id", "js", JsonValidator.compile(suite))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
     assert(typed == docEngine)
   }
 
@@ -89,10 +95,14 @@ class JsonValidatorSpec extends SparkSpec {
       StructField("source", StringType)))
     val variant = JsonValidator
       .violationsVariant(docs, "id", "js", schema, suite)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
     val docEngine = JsonValidator
       .violations(docs, "id", "js", JsonValidator.compile(suite))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
     assert(variant == docEngine)
 
     // valid NON-OBJECT documents: variant extracts null per column →
@@ -131,6 +141,41 @@ class JsonValidatorSpec extends SparkSpec {
       JsonValidator.violationsVariant(nonObj, "id", "js",
         StructType(Seq(StructField("it's", IntegerType))), relaxed)
     }.getMessage.contains("violationsTyped"))
+  }
+
+  test("stored-variant column: no parse step, agrees with doc engine") {
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("n_tok", IntegerType),
+      StructField("tokens", ArrayType(IntegerType)),
+      StructField("source", StringType)))
+    // the lakehouse shape: parse ONCE at write time, persist the binary
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-varcol").toString
+    docs.select($"id", F.try_parse_json($"js").as("v"))
+      .write.mode("overwrite").parquet(dir)
+    val out = JsonValidator.violationsVariantColumn(
+      spark.read.parquet(dir), "id", "v", schema, suite)
+    // read-side plan has NO parse: extractions run off the stored binary
+    assert(!out.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("parse_json"))
+
+    val tup = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+    val varcol = out.collect().map(tup).toSet
+    val docEngine = JsonValidator
+      .violations(docs, "id", "js", JsonValidator.compile(suite))
+      .collect().map(tup).toSet
+    // full parity except _document `observed`: the raw text is not
+    // stored on this path (the writer persisted a NULL variant), so it
+    // renders "null" while the string paths carry the truncated text
+    def mask(s: Set[(String, String, String, String)]) = s.map(t =>
+      if (t._2 == JsonValidator.DocumentConstraint) t.copy(_3 = "?")
+      else t)
+    assert(mask(varcol) == mask(docEngine))
+    assert(varcol.filter(_._2 == JsonValidator.DocumentConstraint)
+      .forall(_._3 == "null"))
+    assert(varcol.exists(_._2 == JsonValidator.DocumentConstraint))
   }
 
   test("round-trip: to_json of a typed table validates like the table") {
