@@ -26,13 +26,25 @@ import graft.dsl.{Constraint, ConstraintSuite}
  *
  * Dialect interop (the translation concern the compiler scaladoc
  * assigns here): draft-4's BOOLEAN `exclusiveMinimum`/`exclusiveMaximum`
- * modifying `minimum`/`maximum`, draft-7's array-form `items` +
+ * modifying `minimum`/`maximum`, draft-4's `id` (both the base-URI form
+ * and the plain-fragment anchor form), draft-4/6/7's merged
+ * `dependencies` (array entries ≙ `dependentRequired`, schema entries ≙
+ * `dependentSchemas`), draft-7's array-form `items` +
  * `additionalItems`, and 2020-12's `prefixItems` + schema-form `items`
- * all lower to the same `PrefixItems`/`EachElement`/`EachElementFrom`
- * trio. `$ref`/`$defs`(/legacy `definitions`)/`$anchor` are resolved by
- * INLINING at the reference site — JSON Schema definitions are
- * location-independent, so the same def lands on whatever path the ref
- * site sits at. RECURSIVE refs that consume instance nesting (the ref
+ * all lower to the same operator set.
+ *
+ * Reference resolution is full 2020-12 URI semantics: every document
+ * (the root, each `remotes` entry, every embedded subschema with its
+ * own `$id` — resolved against the nearest parent base, RFC 3986) is
+ * indexed by absolute URI; `$ref` fragments may be RFC 6901 JSON
+ * pointers (`~0`/`~1`/percent escapes, array indexes, arbitrary
+ * keyword locations) or `$anchor`/`$dynamicAnchor` names scoped to
+ * their enclosing `$id`. Targets are resolved then INLINED at the
+ * reference site — JSON Schema definitions are location-independent,
+ * so the same def lands on whatever path the ref site sits at; nested
+ * refs inside a target resolve against the TARGET document's base.
+ * Unresolvable refs name the unknown document/anchor/pointer and the
+ * known document set. RECURSIVE refs that consume instance nesting (the ref
  * re-enters below a container/property boundary) unroll to `maxUnroll`
  * levels and then cut FAIL-CLOSED (deeper instances are invalid, never
  * silently accepted); a ref re-entered at the same instance depth
@@ -52,10 +64,14 @@ object JsonSchemaImport {
   /** Keywords that are annotations / structure we already consumed /
     * intentionally out of assertion scope for a table importer. */
   private val Ignored = Set(
-    "$schema", "$id", "$comment", "$vocabulary", "title", "description",
-    "default", "examples", "deprecated", "readOnly", "writeOnly",
-    "contentMediaType", "contentEncoding", "contentSchema",
+    "$schema", "$id", "id", "$comment", "$vocabulary", "title",
+    "description", "default", "examples", "deprecated", "readOnly",
+    "writeOnly", "contentMediaType", "contentEncoding", "contentSchema",
     "$defs", "definitions", "$anchor", "$dynamicAnchor")
+
+  /** Keyword values that hold DATA, not subschemas — identifier
+    * indexing must not descend into them. */
+  private val DataKeys = Set("enum", "const", "default", "examples")
 
   private val Handled = Set(
     "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
@@ -66,18 +82,78 @@ object JsonSchemaImport {
     "additionalProperties", "minProperties", "maxProperties",
     "dependentRequired", "dependentSchemas", "allOf", "anyOf", "oneOf",
     "not", "if", "then", "else", "$ref", "$dynamicRef",
-    "unevaluatedItems", "unevaluatedProperties")
+    "unevaluatedItems", "unevaluatedProperties", "dependencies")
 
-  /** `typedColumns = true` (default): columns are statically typed, so
-    * numeric keywords sit on numeric columns and lower to plain
-    * comparisons (the hot-path shape). `false`: emit full JSON-value
-    * applicability semantics — numeric keywords wrap in a content-is-
-    * number guard so non-numeric values PASS them (2020-12: `minimum`
-    * does not constrain a string instance) instead of raising an ANSI
-    * cast error on string columns. */
+  /** Synthetic base URI for a root document without an absolute `$id`
+    * — relative `$id`s and refs still rebase correctly against it. */
+  private val DefaultBase = "https://graft.invalid/root.json"
+
+  private def stripFrag(uri: String): String = {
+    val i = uri.indexOf('#'); if (i < 0) uri else uri.substring(0, i)
+  }
+
+  /** Canonical document key: fragment stripped, empty authority
+    * collapsed — `URI.resolve` renders "file:///x" as "file:/x", so
+    * both spellings must map to one key. */
+  private def canonDoc(uri: String): String = {
+    val u = stripFrag(uri)
+    try {
+      val p = new java.net.URI(u)
+      if (p.isOpaque || p.getScheme == null) u
+      else new java.net.URI(p.getScheme,
+        Option(p.getAuthority).filter(_.nonEmpty).orNull,
+        p.getPath, p.getQuery, null).toString
+    } catch { case _: Exception => u }
+  }
+
+  /** RFC 3986 relative resolution with a plain-string fallback for
+    * opaque bases (urn:…), which `java.net.URI.resolve` cannot join. */
+  private def resolveUri(base: String, ref: String): String =
+    try {
+      val r = new java.net.URI(base).resolve(ref).toString
+      // resolve() against an OPAQUE base returns ref unchanged even
+      // for "#frag" — re-attach the base document by hand
+      if (ref.startsWith("#") && !r.contains(':')
+          || (ref.startsWith("#") && r == ref)) stripFrag(base) + ref
+      else r
+    } catch {
+      case _: Exception =>
+        if (ref.startsWith("#")) stripFrag(base) + ref else ref
+    }
+
+  /** Fragment of an absolute URI reference, %-decoded; None when
+    * absent. */
+  private def fragOf(uri: String): Option[String] = {
+    val i = uri.indexOf('#')
+    if (i < 0) None
+    else Some(try {
+      val f = new java.net.URI(uri).getFragment
+      if (f == null) uri.substring(i + 1) else f
+    } catch { case _: Exception => uri.substring(i + 1) })
+  }
+
+  /**
+   * `typedColumns = true` (default): columns are statically typed, so
+   * numeric keywords sit on numeric columns and lower to plain
+   * comparisons (the hot-path shape). `false`: emit full JSON-value
+   * applicability semantics — numeric keywords wrap in a content-is-
+   * number guard so non-numeric values PASS them (2020-12: `minimum`
+   * does not constrain a string instance) instead of raising an ANSI
+   * cast error on string columns.
+   *
+   * @param remotes remote schema documents keyed by the absolute URI
+   *        they are addressable under — the official suite's
+   *        `http://localhost:1234/…` registry shape. A document's own
+   *        absolute `$id` (and every embedded subschema `$id`,
+   *        resolved against its parent base) is indexed too, so
+   *        `$id`-rebased refs, JSON-pointer fragments
+   *        (`uri#/$defs/x`, `#/properties/p`) and cross-document
+   *        anchors (`uri#anchorName`) all resolve.
+   */
   def translate(schemaJson: String, suiteId: String = null,
       typedColumns: Boolean = true,
-      maxUnroll: Int = ConstraintCompiler.DefaultMaxUnroll): ConstraintSuite = {
+      maxUnroll: Int = ConstraintCompiler.DefaultMaxUnroll,
+      remotes: Map[String, String] = Map.empty): ConstraintSuite = {
     val root =
       try mapper.readTree(schemaJson)
       catch {
@@ -91,30 +167,78 @@ object JsonSchemaImport {
       .orElse(Option(root.get("$id")).map(_.asText()))
       .getOrElse("imported")
 
-    // --- reference targets: $defs / definitions by name, $anchor by name
-    val defs = scala.collection.mutable.Map[String, JsonNode]()
-    Seq("$defs", "definitions").foreach { k =>
-      Option(root.get(k)).filter(_.isObject).foreach(
-        _.properties().asScala.foreach(e => defs(e.getKey) = e.getValue))
+    // --- document environment: every addressable document / embedded
+    // $id subschema by absolute URI, anchors scoped to their nearest
+    // enclosing $id
+    val docs = scala.collection.mutable.Map[String, JsonNode]()
+    val anchors = scala.collection.mutable.Map[(String, String), JsonNode]()
+    def indexDoc(node: JsonNode, baseUri: String): Unit = {
+      docs.getOrElseUpdate(canonDoc(baseUri), node)
+      def walk(n: JsonNode, b: String): Unit =
+        if (n.isObject) {
+          // draft-4 spells the keyword `id`; a plain-fragment id
+          // ("id": "#name") is that draft's location-independent
+          // anchor, not a base change
+          val idOf = Option(n.get("$id")).orElse(Option(n.get("id")))
+            .filter(_.isTextual).map(_.asText())
+          idOf.filter(i => i.startsWith("#") && !i.contains('/'))
+            .foreach(i => anchors((b, i.drop(1))) = n)
+          val nb = idOf.filterNot(_.startsWith("#"))
+            .map(i => canonDoc(resolveUri(b, i))).getOrElse(b)
+          if (nb != b) docs.getOrElseUpdate(nb, n)
+          Seq("$anchor", "$dynamicAnchor").foreach(k =>
+            Option(n.get(k)).filter(_.isTextual)
+              .foreach(a => anchors((nb, a.asText())) = n))
+          n.properties().asScala
+            // enum/const/default/examples hold DATA, not schemas — an
+            // "$id"/"$anchor" key inside them is not an identifier
+            .filterNot(e => DataKeys.contains(e.getKey))
+            .foreach(e => walk(e.getValue, nb))
+        } else if (n.isArray) n.elements().asScala.foreach(walk(_, b))
+      walk(node, baseUri)
     }
-    val anchors = scala.collection.mutable.Map[String, JsonNode]()
-    def findAnchors(n: JsonNode): Unit = if (n.isObject) {
-      Seq("$anchor", "$dynamicAnchor").foreach(k =>
-        Option(n.get(k)).foreach(a => anchors(a.asText()) = n))
-      n.properties().asScala.foreach(e => findAnchors(e.getValue))
-    } else if (n.isArray) n.elements().asScala.foreach(findAnchors)
-    findAnchors(root)
+    val rootBase = Option(root.get("$id"))
+      .orElse(Option(root.get("id"))).filter(_.isTextual)
+      .map(i => canonDoc(resolveUri(DefaultBase, i.asText())))
+      .getOrElse(DefaultBase)
+    indexDoc(root, rootBase)
+    remotes.foreach { case (uri, js) =>
+      val node =
+        try mapper.readTree(js)
+        catch {
+          case e: Exception => throw new ImportException(
+            s"invalid JSON in remote schema '$uri': ${e.getMessage}")
+        }
+      indexDoc(node, canonDoc(uri))
+    }
 
-    def resolveRef(ref: String): JsonNode = {
-      val target =
-        if (ref.startsWith("#/$defs/")) defs.get(ref.drop(8))
-        else if (ref.startsWith("#/definitions/")) defs.get(ref.drop(14))
-        else if (ref.startsWith("#") && !ref.contains('/'))
-          anchors.get(ref.drop(1))
-        else None
-      target.getOrElse(throw new ImportException(
-        s"unresolvable ref '$ref' (supported: #/\\$$defs/name, " +
-          "#/definitions/name, #anchor within this document)"))
+    /** Resolve a `$ref` against the CURRENT base URI → (target node,
+      * target document's base). Supports same/cross-document JSON
+      * pointers, plain anchors, and whole-document refs. */
+    def resolveRef(ref: String, base: String): (JsonNode, String) = {
+      val abs = resolveUri(base, ref)
+      val docUri = canonDoc(abs) match {
+        case "" => canonDoc(base)
+        case u  => u
+      }
+      val doc = docs.getOrElse(docUri, throw new ImportException(
+        s"unresolvable ref '$ref' — unknown document '$docUri' " +
+          s"(known documents: ${docs.keys.toSeq.sorted.mkString(", ")}; " +
+          "pass remote schemas via translate(..., remotes = Map(uri -> json)))"))
+      fragOf(abs) match {
+        case None | Some("") => (doc, docUri)
+        case Some(p) if p.startsWith("/") =>
+          // Jackson's at() implements RFC 6901 incl. ~0/~1 escapes
+          val t = doc.at(p)
+          if (t.isMissingNode) throw new ImportException(
+            s"unresolvable ref '$ref' — JSON pointer '$p' has no " +
+              s"target in document '$docUri'")
+          (t, docUri)
+        case Some(a) =>
+          (anchors.getOrElse((docUri, a), throw new ImportException(
+            s"unresolvable ref '$ref' — no \\$$anchor '$a' in " +
+              s"document '$docUri'")), docUri)
+      }
     }
 
     var n = 0
@@ -143,6 +267,29 @@ object JsonSchemaImport {
       case many     => AllOf(fresh(path, "group"), many)
     }
 
+    /** True when the lowered constraint can FAIL on an absent value.
+      * Monotone leaves pass-on-null, so a property subschema built from
+      * them is vacuously satisfied when the property is missing — the
+      * JSON-Schema applicability rule — for free. `not` and `oneOf`
+      * INVERT that (absent → inner passes → negation fails; several
+      * vacuously-true oneOf branches → count ≠ 1), and a `false` schema
+      * has no column to anchor on; those need an explicit presence
+      * guard. */
+    def absentUnsafe(c: Constraint): Boolean = {
+      var bad = false
+      Constraint.walk(c) {
+        case _: Not | _: OneOf        => bad = true
+        case BoolSchema(_, false)     => bad = true
+        case _                        => ()
+      }
+      bad
+    }
+    def presenceGuard(col: String, c: Constraint): Constraint =
+      if (absentUnsafe(c))
+        IfThen(fresh(col, "appliesIfPresent"),
+          NotNull(fresh(col, "present"), col), c)
+      else c
+
     /** Lower subschema `s` applied at column path `path` ("" = the row:
       * only object-with-properties is meaningful there). `refs` tracks
       * in-flight `$ref` inlining as name → (instance depth at last
@@ -154,13 +301,19 @@ object JsonSchemaImport {
       * nested past the budget is invalid, never silently accepted). */
     def lower(s: JsonNode, path: String,
         refs: Map[String, (Int, Int)], depth: Int,
-        pol: Int): Seq[Constraint] = {
+        pol: Int, base: String): Seq[Constraint] = {
       if (s.isBoolean)
         return if (s.asBoolean()) Nil
         else Seq(BoolSchema(fresh(path, "false"), value = false))
       if (!s.isObject)
         throw new ImportException(s"schema at '$path' must be an object " +
           s"or boolean, got: $s")
+      // an embedded $id (draft-4: id) REBASES every ref inside this
+      // subschema — the same resolution the indexing walk applied
+      // (plain-fragment draft-4 ids are anchors, not base changes)
+      val curBase = Option(s.get("$id")).orElse(Option(s.get("id")))
+        .filter(_.isTextual).map(_.asText()).filterNot(_.startsWith("#"))
+        .map(i => canonDoc(resolveUri(base, i))).getOrElse(base)
 
       s.fieldNames().asScala.foreach { k =>
         if (!Handled.contains(k) && !Ignored.contains(k))
@@ -173,7 +326,10 @@ object JsonSchemaImport {
       // ---- $ref / $dynamicRef: inline at this path ------------------
       Seq("$ref", "$dynamicRef").foreach { kw =>
         Option(s.get(kw)).foreach { r =>
-          val ref = r.asText()
+          // cycle/unroll tracking keys on the ABSOLUTE form, so the
+          // same target reached via different spellings (relative ref,
+          // rebased ref, pointer) is one ref, not several
+          val ref = resolveUri(curBase, r.asText())
           refs.get(ref) match {
             case Some((d, _)) if d == depth =>
               throw new ImportException(s"cyclic ref '$ref' with no " +
@@ -199,8 +355,9 @@ object JsonSchemaImport {
             }
             case prior =>
               val n = prior.map(_._2).getOrElse(0)
-              out += allOfWrap(path, lower(resolveRef(ref), path,
-                refs + (ref -> (depth, n + 1)), depth, pol))
+              val (target, targetBase) = resolveRef(ref, curBase)
+              out += allOfWrap(path, lower(target, path,
+                refs + (ref -> (depth, n + 1)), depth, pol, targetBase))
           }
         }
       }
@@ -307,7 +464,7 @@ object JsonSchemaImport {
           .map(_.elements().asScala.toSeq).getOrElse(Nil)
       if (prefix.nonEmpty)
         out += PrefixItems(fresh(path, "prefix"), path,
-          prefix.map(p => allOfWrap("$", lower(p, "$", refs, depth + 1, pol))))
+          prefix.map(p => allOfWrap("$", lower(p, "$", refs, depth + 1, pol, curBase))))
       val tailSchema: Option[JsonNode] =
         Option(s.get("items")).filterNot(_.isArray)
           // draft-7 form: additionalItems binds ONLY alongside
@@ -315,7 +472,7 @@ object JsonSchemaImport {
           .orElse(Option(s.get("additionalItems"))
             .filter(_ => Option(s.get("items")).exists(_.isArray)))
       tailSchema.foreach { it =>
-        val elem = allOfWrap("$", lower(it, "$", refs, depth + 1, pol))
+        val elem = allOfWrap("$", lower(it, "$", refs, depth + 1, pol, curBase))
         out += (if (prefix.isEmpty) EachElement(fresh(path, "items"), path, elem)
                 else EachElementFrom(fresh(path, "items"), path,
                   prefix.size, elem))
@@ -324,14 +481,25 @@ object JsonSchemaImport {
         // a max-bounded contains is non-monotone in its element schema
         val elemPol = if (s.has("maxContains")) 0 else pol
         out += ContainsCount(fresh(path, "contains"), path,
-          allOfWrap("$", lower(c, "$", refs, depth + 1, elemPol)),
+          allOfWrap("$", lower(c, "$", refs, depth + 1, elemPol, curBase)),
           int(s, "minContains").getOrElse(1), int(s, "maxContains"))
       }
       Option(s.get("unevaluatedItems")).foreach(u =>
         out += UnevaluatedItems(fresh(path, "unevalItems"), path,
-          allOfWrap("$", lower(u, "$", refs, depth + 1, pol))))
+          allOfWrap("$", lower(u, "$", refs, depth + 1, pol, curBase))))
 
       // ---- objects --------------------------------------------------
+      // draft-4/6/7 `dependencies` folds into the 2019+ split keywords:
+      // an array entry is dependentRequired, a schema entry is
+      // dependentSchemas
+      val (depReqEntries, depSchemaEntries) = {
+        def entries(k: String) = Option(s.get(k)).filter(_.isObject)
+          .map(_.properties().asScala.toSeq).getOrElse(Nil)
+        val (legacyReq, legacySchema) =
+          entries("dependencies").partition(_.getValue.isArray)
+        (entries("dependentRequired") ++ legacyReq,
+          entries("dependentSchemas") ++ legacySchema)
+      }
       val props = Option(s.get("properties")).filter(_.isObject)
       if (path.isEmpty && mapFlavored(s))
         throw new ImportException(
@@ -342,17 +510,21 @@ object JsonSchemaImport {
       val isMap = path.nonEmpty && mapFlavored(s)
       if (isMap) {
         props.foreach(_.properties().asScala.foreach { e =>
+          // same applicability rule in the map flavor: a missing key
+          // evaluates under a null `$` scope, so guard non-monotone
+          // subschemas on key presence
           out += PropertyValues(fresh(path, s"prop_${e.getKey}"), path,
-            e.getKey, allOfWrap("$", lower(e.getValue, "$", refs, depth + 1, pol)))
+            e.getKey, presenceGuard("$", allOfWrap("$",
+              lower(e.getValue, "$", refs, depth + 1, pol, curBase))))
         })
         Option(s.get("patternProperties")).foreach(
           _.properties().asScala.foreach { e =>
             out += PatternValues(fresh(path, "patternProps"), path,
-              e.getKey, allOfWrap("$", lower(e.getValue, "$", refs, depth + 1, pol)))
+              e.getKey, allOfWrap("$", lower(e.getValue, "$", refs, depth + 1, pol, curBase)))
           })
         Option(s.get("propertyNames")).foreach { pn =>
           out += EachKey(fresh(path, "propNames"), path,
-            allOfWrap("$", lower(pn, "$", refs, depth + 1, pol)))
+            allOfWrap("$", lower(pn, "$", refs, depth + 1, pol, curBase)))
         }
         Option(s.get("additionalProperties")).foreach { ap =>
           val covered = props.map(
@@ -370,7 +542,7 @@ object JsonSchemaImport {
                 covered, coveredPats)
           } else if (!ap.isBoolean)
             out += UnevaluatedProperties(fresh(path, "addlProps"), path,
-              allOfWrap("$", lower(ap, "$", refs, depth + 1, pol)), covered, coveredPats)
+              allOfWrap("$", lower(ap, "$", refs, depth + 1, pol, curBase)), covered, coveredPats)
         }
         if (s.has("minProperties") || s.has("maxProperties"))
           out += KeyCountBounds(fresh(path, "keyCount"), path,
@@ -387,31 +559,31 @@ object JsonSchemaImport {
         def presence(k: String): Constraint =
           PropertyValues(fresh(path, s"has_$k"), path, k,
             NotNull(fresh(path, "presNN"), "$"))
-        Option(s.get("dependentRequired")).foreach(
-          _.properties().asScala.foreach { e =>
-            val needed = e.getValue.elements().asScala
-              .map(x => presence(x.asText())).toSeq
-            out += IfThen(fresh(path, s"depReq_${e.getKey}"),
-              presence(e.getKey), allOfWrap(path, needed))
-          })
-        Option(s.get("dependentSchemas")).foreach(
-          _.properties().asScala.foreach { e =>
-            out += IfThen(fresh(path, s"depSchema_${e.getKey}"),
-              presence(e.getKey),
-              allOfWrap(path, lower(e.getValue, path, refs, depth, pol)))
-          })
+        depReqEntries.foreach { e =>
+          val needed = e.getValue.elements().asScala
+            .map(x => presence(x.asText())).toSeq
+          out += IfThen(fresh(path, s"depReq_${e.getKey}"),
+            presence(e.getKey), allOfWrap(path, needed))
+        }
+        depSchemaEntries.foreach { e =>
+          out += IfThen(fresh(path, s"depSchema_${e.getKey}"),
+            presence(e.getKey),
+            allOfWrap(path, lower(e.getValue, path, refs, depth, pol, curBase)))
+        }
         Option(s.get("unevaluatedProperties")).foreach { u =>
           // declared coverage is computed by the compiler's
           // resolveUnevaluated pass from sibling PropertyValues/
           // PatternValues/KeysIn on the same column
           out += UnevaluatedProperties(fresh(path, "unevalProps"), path,
-            allOfWrap("$", lower(u, "$", refs, depth + 1, pol)))
+            allOfWrap("$", lower(u, "$", refs, depth + 1, pol, curBase)))
         }
       } else {
         def childPath(p: String): String =
           if (path.isEmpty) p else s"$path.$p"
         props.foreach(_.properties().asScala.foreach { e =>
-          out ++= lower(e.getValue, childPath(e.getKey), refs, depth + 1, pol)
+          val child = childPath(e.getKey)
+          out ++= lower(e.getValue, child, refs, depth + 1, pol, curBase)
+            .map(presenceGuard(child, _))
         })
         // struct-flavor additionalProperties (alongside properties) is
         // structural: a fixed struct has no additional fields to reject
@@ -426,59 +598,57 @@ object JsonSchemaImport {
             NotNull(fresh(path, "present"), path),
             NotNull(fresh(child, "requiredNN"), child)))
         })
-        Option(s.get("dependentRequired")).foreach(
-          _.properties().asScala.foreach { e =>
-            val needed = e.getValue.elements().asScala.map(x =>
-              NotNull(fresh(childPath(x.asText()), "depReq"),
-                childPath(x.asText()))).toSeq
-            out += IfThen(fresh(path, s"depReq_${e.getKey}"),
-              NotNull(fresh(path, "depCond"), childPath(e.getKey)),
-              allOfWrap(path, needed))
-          })
-        Option(s.get("dependentSchemas")).foreach(
-          _.properties().asScala.foreach { e =>
-            out += IfThen(fresh(path, s"depSchema_${e.getKey}"),
-              NotNull(fresh(path, "depCond"), childPath(e.getKey)),
-              allOfWrap(path, lower(e.getValue, path, refs, depth, pol)))
-          })
+        depReqEntries.foreach { e =>
+          val needed = e.getValue.elements().asScala.map(x =>
+            NotNull(fresh(childPath(x.asText()), "depReq"),
+              childPath(x.asText()))).toSeq
+          out += IfThen(fresh(path, s"depReq_${e.getKey}"),
+            NotNull(fresh(path, "depCond"), childPath(e.getKey)),
+            allOfWrap(path, needed))
+        }
+        depSchemaEntries.foreach { e =>
+          out += IfThen(fresh(path, s"depSchema_${e.getKey}"),
+            NotNull(fresh(path, "depCond"), childPath(e.getKey)),
+            allOfWrap(path, lower(e.getValue, path, refs, depth, pol, curBase)))
+        }
         Option(s.get("unevaluatedProperties")).foreach { u =>
           if (path.isEmpty) throw new ImportException(
             "unevaluatedProperties at the ROW level is not meaningful " +
               "for a fixed table schema")
           out += UnevaluatedProperties(fresh(path, "unevalProps"), path,
-            allOfWrap("$", lower(u, "$", refs, depth + 1, pol)))
+            allOfWrap("$", lower(u, "$", refs, depth + 1, pol, curBase)))
         }
       }
 
       // ---- combinators ---------------------------------------------
       Option(s.get("allOf")).foreach(_.elements().asScala.foreach(sub =>
-        out ++= lower(sub, path, refs, depth, pol)))
+        out ++= lower(sub, path, refs, depth, pol, curBase)))
       Option(s.get("anyOf")).foreach { a =>
         out += AnyOf(fresh(path, "anyOf"), a.elements().asScala.map(sub =>
-          allOfWrap(path, lower(sub, path, refs, depth, pol))).toSeq)
+          allOfWrap(path, lower(sub, path, refs, depth, pol, curBase))).toSeq)
       }
       Option(s.get("oneOf")).foreach { o =>
         // exactly-one is non-monotone: a branch's truth can invalidate
         out += OneOf(fresh(path, "oneOf"), o.elements().asScala.map(sub =>
-          allOfWrap(path, lower(sub, path, refs, depth, 0))).toSeq)
+          allOfWrap(path, lower(sub, path, refs, depth, 0, curBase))).toSeq)
       }
       Option(s.get("not")).foreach(sub =>
         out += Not(fresh(path, "not"),
-          allOfWrap(path, lower(sub, path, refs, depth, -pol))))
+          allOfWrap(path, lower(sub, path, refs, depth, -pol, curBase))))
       Option(s.get("if")).foreach { i =>
         val thenC = Option(s.get("then"))
-          .map(t => allOfWrap(path, lower(t, path, refs, depth, pol)))
+          .map(t => allOfWrap(path, lower(t, path, refs, depth, pol, curBase)))
           .getOrElse(BoolSchema(fresh(path, "thenTrue"), value = true))
         val elseC = Option(s.get("else"))
-          .map(e => allOfWrap(path, lower(e, path, refs, depth, pol)))
+          .map(e => allOfWrap(path, lower(e, path, refs, depth, pol, curBase)))
         out += IfThen(fresh(path, "ifThen"),
-          allOfWrap(path, lower(i, path, refs, depth, 0)), thenC, elseC)
+          allOfWrap(path, lower(i, path, refs, depth, 0, curBase)), thenC, elseC)
       }
 
       out.result()
     }
 
-    val cs = lower(root, "", Map.empty, 0, 1)
+    val cs = lower(root, "", Map.empty, 0, 1, rootBase)
     if (cs.isEmpty)
       throw new ImportException(
         "schema asserts nothing a table validator can enforce " +

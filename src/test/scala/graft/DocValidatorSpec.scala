@@ -65,7 +65,7 @@ class DocValidatorSpec extends AnyFunSuite {
     info(s"doc-engine conformance: $passed passed, ${failed.size} " +
       s"failed, $skippedSql SQL-expression case groups skipped")
     assert(failed.isEmpty, failed.mkString("\n"))
-    assert(passed >= 240)
+    assert(passed >= 650)
   }
 
   test("schema conformance corpus: imported schemas agree too") {
@@ -73,8 +73,12 @@ class DocValidatorSpec extends AnyFunSuite {
     val failures = Seq.newBuilder[String]
     corpus("conformance/schema_corpus.json").elements().asScala.foreach { c =>
       val desc = c.get("description").asText()
+      val remotes = Option(c.get("remotes")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.toString).toMap)
+        .getOrElse(Map.empty[String, String])
       val suite = DocValidator.compile(
-        JsonSchemaImport.translate(c.get("schema").toString, desc))
+        JsonSchemaImport.translate(c.get("schema").toString, desc,
+          remotes = remotes))
       c.get("tests").elements().asScala.foreach { t =>
         val expected = t.get("valid").asBoolean()
         val got = DocValidator.validateNode(suite, t.get("row"))
@@ -86,7 +90,7 @@ class DocValidatorSpec extends AnyFunSuite {
     val failed = failures.result()
     info(s"doc-engine schema conformance: $passed passed, ${failed.size} failed")
     assert(failed.isEmpty, failed.mkString("\n"))
-    assert(passed >= 70)
+    assert(passed >= 380)
   }
 
   test("single-document API: boolean path, details, error surface") {

@@ -294,6 +294,39 @@ class JsonSchemaImportSpec extends SparkSpec {
     assert(s.constraints.nonEmpty)
   }
 
+  test("ref resolution error surface: unknown document, missing " +
+      "anchor, dead pointer — all descriptive") {
+    // unknown remote document names the miss AND the remotes parameter
+    val e1 = intercept[JsonSchemaImport.ImportException] {
+      JsonSchemaImport.translate("""{"type":"object","properties":
+        {"n_tok":{"$ref":"http://elsewhere.example/x.json"}}}""")
+    }
+    assert(e1.getMessage.contains("http://elsewhere.example/x.json"))
+    assert(e1.getMessage.contains("remotes"))
+    // anchor missing from an otherwise-known document
+    val e2 = intercept[JsonSchemaImport.ImportException] {
+      JsonSchemaImport.translate("""{"type":"object",
+        "$defs":{"a":{"$anchor":"real","minimum":0}},
+        "properties":{"n_tok":{"$ref":"#ghost"}}}""")
+    }
+    assert(e2.getMessage.contains("ghost"))
+    // JSON pointer with no target
+    val e3 = intercept[JsonSchemaImport.ImportException] {
+      JsonSchemaImport.translate("""{"type":"object",
+        "$defs":{"a":{"minimum":0}},
+        "properties":{"n_tok":{"$ref":"#/$defs/missing"}}}""")
+    }
+    assert(e3.getMessage.contains("/$defs/missing"))
+    // a remote that is not valid JSON names the offending URI
+    val e4 = intercept[JsonSchemaImport.ImportException] {
+      JsonSchemaImport.translate(
+        """{"type":"object","properties":
+          {"n_tok":{"$ref":"http://h/bad.json"}}}""",
+        remotes = Map("http://h/bad.json" -> "not json {"))
+    }
+    assert(e4.getMessage.contains("http://h/bad.json"))
+  }
+
   test("unknown assertion keyword refuses to under-enforce") {
     val e = intercept[JsonSchemaImport.ImportException] {
       JsonSchemaImport.translate(

@@ -27,8 +27,14 @@ class SchemaConformanceSpec extends SparkSpec {
       .filter(c => !c.path("docOnly").asBoolean(false))
       .foreach { c =>
       val desc = c.get("description").asText()
+      // optional per-case remote documents — the official suite's
+      // remotes/ registry, keyed by absolute URI
+      val remotes = Option(c.get("remotes")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.toString).toMap)
+        .getOrElse(Map.empty[String, String])
       val suite = ConstraintCompiler.compile(
-        JsonSchemaImport.translate(c.get("schema").toString, desc))
+        JsonSchemaImport.translate(c.get("schema").toString, desc,
+          remotes = remotes))
       c.get("tests").elements().asScala.foreach { t =>
         val tdesc = t.get("description").asText()
         val expected = t.get("valid").asBoolean()
@@ -45,6 +51,6 @@ class SchemaConformanceSpec extends SparkSpec {
     }
     info(s"schema conformance: $passed passed, $failed failed")
     assert(failed == 0, failures.result().mkString("\n"))
-    assert(passed >= 50, "schema corpus unexpectedly small")
+    assert(passed >= 350, "schema corpus unexpectedly small")
   }
 }
