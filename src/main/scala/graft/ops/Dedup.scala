@@ -312,8 +312,16 @@ object Dedup {
    *     the full clique. Output stays linear under boilerplate;
    *  3. exact verify: intersect the pairs' DISTINCT runWords-gram hash
    *     sets — `n_shared_runs` = number of distinct shared runs ≥ 1,
-   *     so precision is exact (a fingerprint shared via a run shorter
-   *     than `runWords` is filtered here).
+   *     so precision is exact MODULO 64-bit hash collisions (the
+   *     intersect runs on run HASHES, not text: two different
+   *     runWords-grams colliding in 64 bits verify as shared). By the
+   *     birthday bound, a corpus with D distinct grams holds
+   *     ~D²/2⁶⁵ colliding gram pairs — ~5 false grams per 10⁹
+   *     distinct grams, and a false PAIR additionally needs both
+   *     colliding grams inside one candidate bucket, so at 10¹²-doc
+   *     scale expect a handful of spurious pairs, not a rate. A
+   *     fingerprint shared via a run shorter than `runWords` is
+   *     filtered here either way.
    *
    * Recall: exact at pair level while fingerprint buckets stay within
    * `maxBucket`; above it, pairs are star-connected through verified

@@ -101,7 +101,56 @@ object JsonBench {
         .count()
     }
 
-    println(f"""{"json_bench":{"n_docs":$nDocs,"cpus":$cpus,"doc_engine":{"sec":$docSec%.2f,"docs_per_sec":${nDocs / docSec}%.0f,"bad_docs":$docBad},"doc_engine_details":{"sec":$detailSec%.2f,"docs_per_sec":${nDocs / detailSec}%.0f,"violations":$detailRows},"typed_from_json":{"sec":$typedSec%.2f,"docs_per_sec":${nDocs / typedSec}%.0f,"violations":$typedRows},"variant":{"sec":$varSec%.2f,"docs_per_sec":${nDocs / varSec}%.0f,"violations":$varRows}}}""")
+    // ---- pre-stored VARIANT column (the lakehouse storage shape):
+    // parse once at write time, then validate off the stored binary —
+    // no parse_json in the read plan
+    val vdir = s"/tmp/graft_json_bench/var_docs=$nDocs"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(vdir, "_SUCCESS"))) {
+      docs.select(F.col("id"), F.try_parse_json(F.col("js")).as("v"))
+        .write.mode("overwrite").parquet(vdir)
+    }
+    val stored = spark.read.parquet(vdir)
+    JsonValidator.violationsVariantColumn(stored.limit(10000), "id", "v",
+      docSchema, suite).count() // warm
+    val (vcolSec, vcolRows) = time(3) {
+      JsonValidator.violationsVariantColumn(stored, "id", "v",
+        docSchema, suite).count()
+    }
+
+    // ---- resumable runner over a PARTITIONED corpus — the 10^12
+    // operational shape: checkpointed partition batches, violations
+    // accumulated, kill + resume. Single-pass doc engine per run.
+    val pdir = s"/tmp/graft_json_bench/part_docs=$nDocs"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(pdir, "_SUCCESS"))) {
+      docs.withColumn("part",
+          F.concat(F.lit("p"), F.lpad(
+            F.pmod(F.col("id").cast("long"), F.lit(16)).cast("string"),
+            2, "0")))
+        .write.mode("overwrite").partitionBy("part").parquet(pdir)
+    }
+    val stamp = System.nanoTime()
+    val table = new graft.table.ParquetPartitionedTable(spark, pdir, "part")
+    val cp = new graft.checkpoint.CheckpointStore(spark,
+      s"/tmp/graft_json_bench/cp_$stamp")
+    val violOut = s"/tmp/graft_json_bench/viol_$stamp"
+    val tR0 = System.nanoTime()
+    val r1 = graft.checkpoint.PartitionedRunner.runJson(table, suite, cp,
+      "b1", jsonCol = "js", idCol = "id",
+      violationsOut = Some(violOut), maxPartitions = 8)
+    val runHalfSec = (System.nanoTime() - tR0) / 1e9
+    val tR1 = System.nanoTime()
+    val r2 = graft.checkpoint.PartitionedRunner.runJson(table, suite, cp,
+      "b2", jsonCol = "js", idCol = "id",
+      violationsOut = Some(violOut))
+    val resumeSec = (System.nanoTime() - tR1) / 1e9
+    require(r1.processed.size == 8 && r2.processed.size == 8 &&
+      r2.skipped.toSet == r1.processed.toSet,
+      s"resume contract broke: ${r1.processed.size}/${r2.processed.size}")
+    val runJsonSec = runHalfSec + resumeSec
+
+    println(f"""{"json_bench":{"n_docs":$nDocs,"cpus":$cpus,"doc_engine":{"sec":$docSec%.2f,"docs_per_sec":${nDocs / docSec}%.0f,"bad_docs":$docBad},"doc_engine_details":{"sec":$detailSec%.2f,"docs_per_sec":${nDocs / detailSec}%.0f,"violations":$detailRows},"typed_from_json":{"sec":$typedSec%.2f,"docs_per_sec":${nDocs / typedSec}%.0f,"violations":$typedRows},"variant":{"sec":$varSec%.2f,"docs_per_sec":${nDocs / varSec}%.0f,"violations":$varRows},"variant_stored":{"sec":$vcolSec%.2f,"docs_per_sec":${nDocs / vcolSec}%.0f,"violations":$vcolRows},"run_json":{"sec":$runJsonSec%.2f,"sec_first_half":$runHalfSec%.2f,"sec_resume":$resumeSec%.2f,"docs_per_sec":${nDocs / runJsonSec}%.0f,"partitions":16,"kill_resume_ok":true}}}""")
     spark.stop()
   }
 }

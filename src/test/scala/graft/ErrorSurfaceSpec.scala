@@ -112,8 +112,11 @@ class ErrorSurfaceSpec extends SparkSpec {
       "broken" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
         s.read.parquet(s"$dir/no_such_table.parquet"))))
     val byName = rows.map(r => r._1 -> r).toMap
-    assert(byName("good")._2 > 0.0 && byName("good")._3.isEmpty)
+    assert(byName("good")._2 > 0.0 && byName("good")._4.isEmpty)
+    // the median comes from 3 recorded reps, all kept in the artifact
+    assert(byName("good")._3.size == 3)
     assert(byName("broken")._2 == -1.0)
-    assert(byName("broken")._3.exists(_.nonEmpty))
+    assert(byName("broken")._3.isEmpty) // died on rep 1, no fake times
+    assert(byName("broken")._4.exists(_.nonEmpty))
   }
 }
