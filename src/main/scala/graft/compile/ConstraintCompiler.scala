@@ -507,34 +507,17 @@ object ConstraintCompiler {
 
     case Bounds(_, col, mn, mx, emn, emx) =>
       val v = res(col, scope)
-      // Exact decimal compare first: a string-vs-decimal comparison
-      // coerces to DOUBLE in Spark and conflates integers past 2^53
-      // (suite-exactness gap vs the doc engine's BigDecimal). try_cast
-      // to decimal(38,18) keeps 20 integer digits exact — but it ROUNDS
-      // fractions past scale 18 (HALF_UP), so a >18-fraction-digit
-      // string next to a STRICT bound ("0.9999999999999999999" vs
-      // exclusiveMaximum 1) would round onto the bound and flip the
-      // verdict. Such strings route to a decimal(38,37) compare (exact
-      // up to 37 fraction digits while |v| < 10); only >37-digit
-      // fractions or over-scale magnitudes fall back to the native
-      // comparison (double precision — the documented parity edge vs
-      // the doc engine's unbounded BigDecimal; exponent-notation
-      // strings stay on the scale-18 branch). Ordered coalesce keeps
-      // huge doubles (1e308) on the native branch — never an ANSI task
-      // failure.
-      val s = v.cast("string")
-      val d18 = s.try_cast("decimal(38,18)")
-      val d37 = s.try_cast("decimal(38,37)")
-      val fracLen = F.length(F.regexp_extract(s, "[.](\\d+)$", 1))
-      def cmp(f: (Column, Column) => Column, b: BigDecimal): Column = {
-        val lit = F.lit(b.bigDecimal)
-        F.when(fracLen <= 18, F.coalesce(f(d18, lit), f(v, lit)))
-          .otherwise(F.coalesce(f(d37, lit), f(v, lit)))
-      }
-      val lo = mn.map(b => cmp(if (emn) _ > _ else _ >= _, b))
-      val hi = mx.map(b => cmp(if (emx) _ < _ else _ <= _, b))
-      nullPasses(v, (lo.toSeq ++ hi.toSeq).reduceOption(_ && _)
-        .getOrElse(F.lit(true)))
+      // Exact decimal comparison via a type-dispatching codegen
+      // Expression: numeric children compare natively (primitive
+      // long/double fast paths when the bounds allow, BigDecimal
+      // otherwise — exact past 2^53 either way), string children follow
+      // the doc engine's contract verbatim (numeric CONTENT → unbounded
+      // BigDecimal compare at ANY scale, else fail). This replaced a
+      // string-roundtrip lowering (cast→regexp fraction probe→try_cast
+      // decimal(38,18)/(38,37)→native coalesce) that was both slower —
+      // per-row string format + regex on already-numeric columns — and
+      // less exact (>37-fraction-digit strings fell back to double).
+      nullPasses(v, graft.functions.DecimalBounds(v, mn, mx, emn, emx))
 
     case MultipleOf(_, col, k) =>
       // Exact decimal remainder — avoids the float-tolerance trap on

@@ -97,9 +97,18 @@ object Validator {
               .otherwise(F.coalesce(c.instancePath, F.lit("/")))
               .as("instance_path"))
         }: _*)
+        // Explode ALL structs and drop passing ones with a plain Filter
+        // AFTER the Generate: a higher-order `filter(structs, !ok)`
+        // lambda reads nicer but ArrayFilter is CodegenFallback, which
+        // drags the entire struct construction — every predicate,
+        // observed rendering and instance-path CASE — into interpreted
+        // eval() per row. This shape keeps construction, explode and
+        // drop inside whole-stage codegen; the extra per-row structs
+        // exist only inside the stage, never shuffle.
         df.select(
             F.col(idCol).cast("string").as("doc_id"),
-            F.explode(F.filter(structs, s => !s.getField("ok"))).as("_v"))
+            F.explode(structs).as("_v"))
+          .filter(!F.col("_v.ok"))
           .select(
             F.col("doc_id"),
             F.col("_v.constraint_id").as("constraint_id"),
