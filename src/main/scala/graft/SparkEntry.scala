@@ -579,6 +579,36 @@ object SparkEntry {
         .toDF("doc_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
         .orderBy("doc_id")
     }),
+    "m_jpeg" -> ((s, dir) => {
+      // REAL JPEG entropy round-trip: gray-content images uniform
+      // within each aligned 8×8 block, encoded at quality 100 (all
+      // quantizers 1) — the regime where baseline JPEG is bit-exact
+      // (single integer DC per block, identity color transform), so a
+      // lossy codec still pins to an analytic pixel oracle. Exercises
+      // marker framing, flat-canonical DHT decode, DC prediction, EOB
+      // runs and the IDCT; lossy regimes are spec-tested with
+      // tolerances instead (OpsSpec).
+      import s.implicits._
+      import graft.ops.{JpegCodec, RawImage}
+      docs(s, dir).filter(F.col("doc_id") < 150)
+        .select(F.col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (8 + id % 8).toInt
+          val h = (8 + (id * 3) % 8).toInt
+          def g(x: Int, y: Int): Int =
+            ((id * 7 + (x / 8) * 31 + (y / 8) * 59) % 256).toInt
+          val jpg = JpegCodec.encode(w, h,
+            (x, y) => (g(x, y), g(x, y), g(x, y)), quality = 100)
+          val img = JpegCodec.decode(jpg).get
+          val small = RawImage.resizeNearest(img, 4, 4)
+          val (mr, mg, mb) = RawImage.meanRgb(small)
+          (id.toString, small.width, small.height,
+            math.rint(mr * 1e6) / 1e6, math.rint(mg * 1e6) / 1e6,
+            math.rint(mb * 1e6) / 1e6)
+        }
+        .toDF("doc_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
+        .orderBy("doc_id")
+    }),
     "m_resize" -> ((s, dir) => {
       // REAL pixel resize: raw-bitmap (PPM P6) images built with
       // doc-derived pixel formulas, round-tripped through the parser,
@@ -668,6 +698,28 @@ object SparkEntry {
         |    FROM px), 6) AS mean_b
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
 
+  /** m_jpeg: the gray block-uniform pixel formula replayed in SQL —
+    * g(x, y) = (id·7 + ⌊sx/8⌋·31 + ⌊sy/8⌋·59) mod 256 at the resize
+    * source coordinates sx = x·w//4, sy = y·h//4. The JPEG round-trip
+    * is exact in this regime, so the hash must match to the pixel. */
+  private val jpegOracle =
+    """WITH px AS (SELECT x, y FROM range(0, 4) a(x), range(0, 4) b(y))
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  CAST(4 AS INTEGER) AS out_w, CAST(4 AS INTEGER) AS out_h,
+        |  ROUND((SELECT AVG(CAST(
+        |      (doc_id * 7 + ((x * (8 + doc_id % 8)) // 4 // 8) * 31
+        |       + ((y * (8 + (doc_id * 3) % 8)) // 4 // 8) * 59) % 256
+        |      AS DOUBLE)) FROM px), 6) AS mean_r,
+        |  ROUND((SELECT AVG(CAST(
+        |      (doc_id * 7 + ((x * (8 + doc_id % 8)) // 4 // 8) * 31
+        |       + ((y * (8 + (doc_id * 3) % 8)) // 4 // 8) * 59) % 256
+        |      AS DOUBLE)) FROM px), 6) AS mean_g,
+        |  ROUND((SELECT AVG(CAST(
+        |      (doc_id * 7 + ((x * (8 + doc_id % 8)) // 4 // 8) * 31
+        |       + ((y * (8 + (doc_id * 3) % 8)) // 4 // 8) * 59) % 256
+        |      AS DOUBLE)) FROM px), 6) AS mean_b
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
+
   /** Shared by d_substr (one-shot) and d_substr_staged (materialized
     * gram artifacts): one oracle string pins both paths. */
   private val substrOracle =
@@ -698,6 +750,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "m_resize" -> resizeOracle,
     "m_png" -> resizeOracle,
+    "m_jpeg" -> jpegOracle,
     "v_import" ->
       """SELECT * FROM (
         |  SELECT CAST(l_orderkey AS VARCHAR) || '-' ||

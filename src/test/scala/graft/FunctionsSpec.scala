@@ -145,6 +145,74 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("decimal bounds: every type branch, codegen'd, doc-engine parity") {
+    import graft.functions.DecimalBounds
+    def db(c: org.apache.spark.sql.Column, lo: Option[BigDecimal],
+        hi: Option[BigDecimal], sLo: Boolean = false,
+        sHi: Boolean = false) = DecimalBounds(c, lo, hi, sLo, sHi)
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-db").toString + "/vals"
+      Seq(
+        ("in", 5L, 0.05, "0.5", BigDecimal("5.00")),
+        ("edge", 10L, 0.1, "0.9999999999999999999999999999999999999999",
+          BigDecimal("10.00")),
+        ("out", 11L, 0.2, "abc", BigDecimal("10.01")))
+        .toDF("id", "l", "d", "s", "dec")
+        .write.mode("overwrite").parquet(dir)
+      val t = spark.read.parquet(dir)
+      val got = t.select($"id",
+        // long fast path (whole-long bounds) + slow (fractional bound)
+        db($"l", Some(BigDecimal(1)), Some(BigDecimal(10))).as("lf"),
+        db($"l", Some(BigDecimal("0.5")), Some(BigDecimal("10.5"))).as("ls"),
+        // double fast path (0.1 round-trips Double.toString) + slow
+        db($"d", None, Some(BigDecimal("0.1"))).as("df"),
+        db($"d", None,
+          Some(BigDecimal("0.1000000000000000000000001"))).as("ds"),
+        // string: unbounded exact compare (40 fraction digits) vs a
+        // strict bound — the branch the old decimal(38,37) route
+        // couldn't hold; non-numeric content fails, never throws
+        db($"s", None, Some(BigDecimal(1)), sHi = true).as("sx"),
+        // decimal child: direct BigDecimal compare
+        db($"dec", None, Some(BigDecimal(10))).as("dc"))
+        .collect().map(r => r.getString(0) ->
+          (1 to 6).map(i => Option(r.get(i)).map(_ == true))).toMap
+      assert(got("in") == Seq(Some(true), Some(true), Some(true),
+        Some(true), Some(true), Some(true)))
+      // edge: l=10 passes <=10 and <=10.5; d=0.1 passes <=0.1 and the
+      // 25-digit bound; the 40-digit string is < 1 strictly; dec 10.00
+      // <= 10 passes
+      assert(got("edge") == Seq(Some(true), Some(true), Some(true),
+        Some(true), Some(true), Some(true)))
+      // out: 11 > 10 and > 10.5; 0.2 > both double bounds; "abc" is
+      // non-numeric → false; dec 10.01 > 10
+      assert(got("out") == Seq(Some(false), Some(false), Some(false),
+        Some(false), Some(false), Some(false)))
+
+      // doc-engine parity on the same values, same suite
+      import graft.dsl.Constraint._
+      import graft.dsl.ConstraintSuite
+      val suite = ConstraintSuite("p", Seq(
+        Bounds("b", "v", None, Some(BigDecimal(1)), exclusiveMax = true)))
+      val compiled = graft.compile.ConstraintCompiler.compile(suite)
+      val doc = graft.exec.DocValidator.compile(suite)
+      for (v <- Seq("0.9999999999999999999999999999999999999999",
+          "abc", "1", "0.5", "1e-40")) {
+        // Catalyst over a string-typed column vs the doc engine over
+        // the equivalent string-typed JSON value — the content-typing
+        // contract both engines share
+        val catalyst = Seq(Tuple1(v)).toDF("v")
+          .select(compiled.rowPredicate).collect()(0).getBoolean(0)
+        assert(catalyst ==
+          graft.exec.DocValidator.validate(doc, s"""{"v": "$v"}"""),
+          s"parity break on $v")
+      }
+      val executed = t.select(db($"l", Some(BigDecimal(1)), None))
+        .queryExecution.executedPlan.toString
+      assert(executed.contains("*("), executed)
+    }
+  }
+
   test("winnowed mins: sliding-window minima, distinct, guarantee holds") {
     import graft.functions.WinnowedMins
     val arrs = Seq(

@@ -611,6 +611,97 @@ class OpsSpec extends SparkSpec {
     assert(PngCodec.decode(crafted).isEmpty)
   }
 
+  test("jpeg codec: exact round-trip for block-uniform gray at q100") {
+    import graft.ops.JpegCodec
+    // the exactness theorem: gray content (Cb=Cr=128 → identity color
+    // transform), uniform within each aligned 8×8 block (single integer
+    // DC coefficient), quality 100 (all quantizers 1) → bit-exact
+    def gray(x: Int, y: Int): Int = (37 + 31 * (x / 8) + 59 * (y / 8)) % 256
+    val w = 24; val h = 16
+    val jpg = JpegCodec.encode(w, h, (x, y) =>
+      (gray(x, y), gray(x, y), gray(x, y)), quality = 100)
+    val img = JpegCodec.decode(jpg).get
+    assert(img.width == w && img.height == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.pixel(x, y) == ((gray(x, y), gray(x, y), gray(x, y))),
+        s"pixel ($x,$y)")
+
+    // 4:2:0: uniform per 16×16 block keeps the averaged chroma exact too
+    def gray16(x: Int, y: Int): Int = (11 + 47 * (x / 16) + 73 * (y / 16)) % 256
+    val jpg420 = JpegCodec.encode(32, 32, (x, y) =>
+      (gray16(x, y), gray16(x, y), gray16(x, y)),
+      quality = 100, subsample420 = true)
+    val img420 = JpegCodec.decode(jpg420).get
+    for (y <- 0 until 32; x <- 0 until 32)
+      assert(img420.pixel(x, y) ==
+        ((gray16(x, y), gray16(x, y), gray16(x, y))), s"420 ($x,$y)")
+  }
+
+  test("jpeg codec: lossy color gradient stays within tolerance") {
+    import graft.ops.JpegCodec
+    def pix(x: Int, y: Int): (Int, Int, Int) =
+      (math.min(255, 3 * x + y), math.min(255, 2 * y + x),
+        math.min(255, x + y))
+    // odd dims → partial boundary MCUs with clamp-to-edge padding
+    val w = 37; val h = 23
+    for ((sub, tol) <- Seq((false, 14), (true, 26))) {
+      val img = JpegCodec.decode(
+        JpegCodec.encode(w, h, pix, quality = 90, subsample420 = sub)).get
+      assert(img.width == w && img.height == h)
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = img.pixel(x, y)
+        val (er, eg, eb) = pix(x, y)
+        maxErr = maxErr max math.abs(r - er) max math.abs(g - eg) max
+          math.abs(b - eb)
+      }
+      assert(maxErr <= tol, s"subsample=$sub maxErr=$maxErr")
+    }
+  }
+
+  test("jpeg codec: restart markers + DC predictor reset decode") {
+    import graft.ops.JpegCodec
+    def gray(x: Int, y: Int): Int = (13 + 29 * (x / 8) + 17 * (y / 8)) % 256
+    // 6×2 = 12 MCUs at 4:4:4, restart every 4 → two RST markers in-stream
+    val jpg = JpegCodec.encode(48, 16, (x, y) =>
+      (gray(x, y), gray(x, y), gray(x, y)), quality = 100,
+      restartInterval = 4)
+    assert((0 to 7).exists { n => // the RSTn bytes really are in there
+      val pat = Array(0xFF.toByte, (0xD0 + n).toByte)
+      jpg.sliding(2).exists(_.sameElements(pat))
+    })
+    val img = JpegCodec.decode(jpg).get
+    for (y <- 0 until 16; x <- 0 until 48)
+      assert(img.pixel(x, y) == ((gray(x, y), gray(x, y), gray(x, y))),
+        s"pixel ($x,$y)")
+  }
+
+  test("jpeg codec: malformed inputs decode to None, never throw") {
+    import graft.ops.JpegCodec
+    val good = JpegCodec.encode(16, 16, (x, y) => (x * 16, y * 16, 128))
+    assert(JpegCodec.decode(good).isDefined)
+    // truncations at every length: entropy-stream cuts, header cuts
+    for (cut <- 0 until good.length by 5)
+      assert(JpegCodec.decode(good.take(cut)).isEmpty, s"cut=$cut")
+    // progressive refusal: patch SOF0 (FFC0) to SOF2 (FFC2)
+    val prog = good.clone()
+    val sof = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sof + 1) = 0xC2.toByte
+    assert(JpegCodec.decode(prog).isEmpty)
+    // 12-bit precision refusal: SOF precision byte (offset sof+4)
+    val deep = good.clone()
+    deep(sof + 4) = 12.toByte
+    assert(JpegCodec.decode(deep).isEmpty)
+    // pixel cap: refuses before allocating planes
+    assert(JpegCodec.decode(good, maxPixels = 4L).isEmpty)
+    assert(JpegCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(JpegCodec.decode("not a jpeg".getBytes).isEmpty)
+    // PNG magic → None (not a SOI)
+    assert(JpegCodec.decode(
+      graft.ops.PngCodec.encode(4, 4, (x, y) => (x, y, 0))).isEmpty)
+  }
+
   test("multimodal: stub decode plumbing preserves schema and batches") {
     val media = Multimodal.synthetic(spark, 300L, numPartitions = 4)
     val feats = Multimodal.extractFeatures(media)
