@@ -609,6 +609,45 @@ object SparkEntry {
         .toDF("doc_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
         .orderBy("doc_id")
     }),
+    "m_mjpeg" -> ((s, dir) => {
+      // REAL video pixel decode, end to end: per doc a deterministic
+      // MJPEG AVI is BUILT (2–4 quality-100 baseline-JPEG frames,
+      // gray block-uniform pixels — the bit-exact regime m_jpeg
+      // proved), the RIFF container is PARSED back (avih geometry +
+      // frame-chunk addressing), every 2nd frame is entropy-decoded
+      // to pixels, resized to 4×4, and the sampled-frame mean luma is
+      // extracted. The oracle replays geometry, frame sampling and the
+      // pixel formula analytically — any container-walk, frame-
+      // addressing or JPEG bug breaks the hash.
+      import s.implicits._
+      import graft.ops.{AviCodec, JpegCodec, RawImage}
+      docs(s, dir).filter(F.col("doc_id") < 150)
+        .select(F.col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (8 + id % 8).toInt
+          val h = (8 + (id * 3) % 8).toInt
+          val nf = (2 + id % 3).toInt
+          def g(f: Int)(x: Int, y: Int): Int =
+            ((id * 7 + f * 13 + (x / 8) * 31 + (y / 8) * 59) % 256).toInt
+          val frames = (0 until nf).map { f =>
+            JpegCodec.encode(w, h,
+              (x, y) => (g(f)(x, y), g(f)(x, y), g(f)(x, y)),
+              quality = 100)
+          }
+          val avi = AviCodec.buildAvi(w, h, usPerFrame = 40000, frames)
+          val info = AviCodec.parseAvi(avi).get
+          val sampled = AviCodec.decodeFrames(avi, info, stride = 2)
+          val lumas = sampled.map { case (_, img) =>
+            RawImage.meanRgb(RawImage.resizeNearest(img, 4, 4))._1
+          }
+          (id.toString, info.width, info.height, info.nFrames,
+            sampled.size, math.rint(info.fps * 1e6) / 1e6,
+            math.rint(lumas.sum / lumas.size * 1e6) / 1e6)
+        }
+        .toDF("doc_id", "vid_w", "vid_h", "n_frames", "n_sampled",
+          "fps", "mean_luma")
+        .orderBy("doc_id")
+    }),
     "m_resize" -> ((s, dir) => {
       // REAL pixel resize: raw-bitmap (PPM P6) images built with
       // doc-derived pixel formulas, round-tripped through the parser,
@@ -720,6 +759,30 @@ object SparkEntry {
         |      AS DOUBLE)) FROM px), 6) AS mean_b
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
 
+  /** m_mjpeg: geometry, stride-2 frame sampling and the per-frame
+    * gray formula g(x, y, f) = (id·7 + f·13 + ⌊sx/8⌋·31 + ⌊sy/8⌋·59)
+    * mod 256 replayed analytically at the resize source coordinates.
+    * Every mean divides by a power of two (16 px, 1–2 frames), so the
+    * 6-digit rounding is exact on both sides. */
+  private val mjpegOracle =
+    """WITH px AS (SELECT x, y FROM range(0, 4) a(x), range(0, 4) b(y)),
+      |d AS (SELECT doc_id, 8 + doc_id % 8 AS w,
+      |             8 + (doc_id * 3) % 8 AS h, 2 + doc_id % 3 AS nf
+      |      FROM documents WHERE doc_id < 150),
+      |fr AS (SELECT doc_id, w, h, nf, f
+      |       FROM d, range(0, 4) t(f) WHERE f < nf AND f % 2 = 0)
+      |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+      |  CAST(MAX(w) AS INTEGER) AS vid_w,
+      |  CAST(MAX(h) AS INTEGER) AS vid_h,
+      |  CAST(MAX(nf) AS INTEGER) AS n_frames,
+      |  CAST(COUNT(*) // 16 AS INTEGER) AS n_sampled,
+      |  CAST(25.0 AS DOUBLE) AS fps,
+      |  ROUND(AVG(CAST(
+      |    (doc_id * 7 + f * 13 + ((x * w) // 4 // 8) * 31
+      |     + ((y * h) // 4 // 8) * 59) % 256 AS DOUBLE)), 6) AS mean_luma
+      |FROM fr, px
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Shared by d_substr (one-shot) and d_substr_staged (materialized
     * gram artifacts): one oracle string pins both paths. */
   private val substrOracle =
@@ -751,6 +814,7 @@ object SparkEntry {
     "m_resize" -> resizeOracle,
     "m_png" -> resizeOracle,
     "m_jpeg" -> jpegOracle,
+    "m_mjpeg" -> mjpegOracle,
     "v_import" ->
       """SELECT * FROM (
         |  SELECT CAST(l_orderkey AS VARCHAR) || '-' ||

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{functions => F}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, MediaContainers, Multimodal, Similarity, TextAnalysis}
 
 /** Training-pipeline operators: dedup family, similarity search, text
   * analysis, multimodal plumbing — each verified against hand-computable
@@ -700,6 +700,55 @@ class OpsSpec extends SparkSpec {
     // PNG magic → None (not a SOI)
     assert(JpegCodec.decode(
       graft.ops.PngCodec.encode(4, 4, (x, y) => (x, y, 0))).isEmpty)
+  }
+
+  test("avi codec: MJPEG round-trip, frame sampling, malformed contract") {
+    import graft.ops.{AviCodec, JpegCodec}
+    def gray(f: Int)(x: Int, y: Int): Int =
+      (19 + f * 13 + 31 * (x / 8) + 59 * (y / 8)) % 256
+    val w = 16; val h = 16; val nf = 5
+    val frames = (0 until nf).map { f =>
+      JpegCodec.encode(w, h,
+        (x, y) => (gray(f)(x, y), gray(f)(x, y), gray(f)(x, y)),
+        quality = 100)
+    }
+    val avi = AviCodec.buildAvi(w, h, usPerFrame = 40000, frames)
+    val info = AviCodec.parseAvi(avi).get
+    assert(info.width == w && info.height == h && info.nFrames == nf)
+    assert(info.fps == 25.0)
+    assert(info.frames.size == nf)
+
+    // stride 2 samples frames 0, 2, 4 — and the PIXELS round-trip
+    // bit-exactly (block-uniform gray at q100, the m_jpeg regime)
+    val sampled = AviCodec.decodeFrames(avi, info, stride = 2)
+    assert(sampled.map(_._1) == Seq(0, 2, 4))
+    for ((f, img) <- sampled; y <- 0 until h; x <- 0 until w)
+      assert(img.pixel(x, y) ==
+        ((gray(f)(x, y), gray(f)(x, y), gray(f)(x, y))),
+        s"frame $f pixel ($x,$y)")
+    // stride 1 decodes every frame
+    assert(AviCodec.decodeFrames(avi, info, stride = 1).size == nf)
+
+    // a corrupted frame is skipped, the rest still decode
+    val broken = avi.clone()
+    val (o2, _) = info.frames(2)
+    broken(o2) = 0.toByte // kill frame 2's SOI
+    assert(AviCodec.decodeFrames(broken, info, stride = 2)
+      .map(_._1) == Seq(0, 4))
+
+    // malformed contract: None on garbage and every truncation
+    assert(AviCodec.parseAvi(Array.emptyByteArray).isEmpty)
+    assert(AviCodec.parseAvi("not an avi".getBytes).isEmpty)
+    for (cut <- 0 until 200 by 7)
+      assert(AviCodec.parseAvi(avi.take(cut)).isEmpty, s"cut=$cut")
+    // a WAV is RIFF but not AVI
+    assert(AviCodec.parseAvi(
+      MediaContainers.buildWav(8000, 1, 16, 10)).isEmpty)
+    // crafted chunk length near u32 max must not wrap the walk
+    val crafted = avi.clone()
+    crafted(16) = 0xff.toByte; crafted(17) = 0xff.toByte
+    crafted(18) = 0xff.toByte; crafted(19) = 0xff.toByte
+    assert(AviCodec.parseAvi(crafted).isEmpty)
   }
 
   test("multimodal: stub decode plumbing preserves schema and batches") {
