@@ -30,6 +30,13 @@ object JsonBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // 1-min load at start/end goes into the artifact: this box has
+    // noisy-neighbor windows that swing identical jobs 4-8x (measured
+    // round 5: the same verdicts action 0.97 s and 31.1 s in one JVM),
+    // and a throughput line without load context can't be interpreted
+    def load(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = load()
 
     // deterministic corpus: 16-token sequences rendered to JSON, with
     // ~1% planted violations (token out of range / bad source)
@@ -150,7 +157,7 @@ object JsonBench {
       s"resume contract broke: ${r1.processed.size}/${r2.processed.size}")
     val runJsonSec = runHalfSec + resumeSec
 
-    println(f"""{"json_bench":{"n_docs":$nDocs,"cpus":$cpus,"doc_engine":{"sec":$docSec%.2f,"docs_per_sec":${nDocs / docSec}%.0f,"bad_docs":$docBad},"doc_engine_details":{"sec":$detailSec%.2f,"docs_per_sec":${nDocs / detailSec}%.0f,"violations":$detailRows},"typed_from_json":{"sec":$typedSec%.2f,"docs_per_sec":${nDocs / typedSec}%.0f,"violations":$typedRows},"variant":{"sec":$varSec%.2f,"docs_per_sec":${nDocs / varSec}%.0f,"violations":$varRows},"variant_stored":{"sec":$vcolSec%.2f,"docs_per_sec":${nDocs / vcolSec}%.0f,"violations":$vcolRows},"run_json":{"sec":$runJsonSec%.2f,"sec_first_half":$runHalfSec%.2f,"sec_resume":$resumeSec%.2f,"docs_per_sec":${nDocs / runJsonSec}%.0f,"partitions":16,"kill_resume_ok":true}}}""")
+    println(f"""{"json_bench":{"n_docs":$nDocs,"cpus":$cpus,"doc_engine":{"sec":$docSec%.2f,"docs_per_sec":${nDocs / docSec}%.0f,"bad_docs":$docBad},"doc_engine_details":{"sec":$detailSec%.2f,"docs_per_sec":${nDocs / detailSec}%.0f,"violations":$detailRows},"typed_from_json":{"sec":$typedSec%.2f,"docs_per_sec":${nDocs / typedSec}%.0f,"violations":$typedRows},"variant":{"sec":$varSec%.2f,"docs_per_sec":${nDocs / varSec}%.0f,"violations":$varRows},"variant_stored":{"sec":$vcolSec%.2f,"docs_per_sec":${nDocs / vcolSec}%.0f,"violations":$vcolRows},"run_json":{"sec":$runJsonSec%.2f,"sec_first_half":$runHalfSec%.2f,"sec_resume":$resumeSec%.2f,"docs_per_sec":${nDocs / runJsonSec}%.0f,"partitions":16,"kill_resume_ok":true},"load_start":$loadStart%.2f,"load_end":${load()}%.2f}}""")
     spark.stop()
   }
 }
