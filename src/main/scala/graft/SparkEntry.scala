@@ -609,6 +609,35 @@ object SparkEntry {
         .toDF("doc_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
         .orderBy("doc_id")
     }),
+    "m_jpeg_prog" -> ((s, dir) => {
+      // The SAME pixel pipeline as m_jpeg but through the PROGRESSIVE
+      // (SOF2) codec: 10-scan successive-approximation encode
+      // (spectral bands, DC/AC refinements, EOB runs), multi-scan
+      // coefficient accumulation on decode. Successive approximation
+      // is exact in the coefficient domain, so the q100 block-uniform
+      // gray regime stays bit-exact and the query pins to the SAME
+      // oracle string as m_jpeg — the two entropy codecs cannot drift.
+      import s.implicits._
+      import graft.ops.{JpegCodec, RawImage}
+      docs(s, dir).filter(F.col("doc_id") < 150)
+        .select(F.col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (8 + id % 8).toInt
+          val h = (8 + (id * 3) % 8).toInt
+          def g(x: Int, y: Int): Int =
+            ((id * 7 + (x / 8) * 31 + (y / 8) * 59) % 256).toInt
+          val jpg = JpegCodec.encodeProgressive(w, h,
+            (x, y) => (g(x, y), g(x, y), g(x, y)), quality = 100)
+          val img = JpegCodec.decode(jpg).get
+          val small = RawImage.resizeNearest(img, 4, 4)
+          val (mr, mg, mb) = RawImage.meanRgb(small)
+          (id.toString, small.width, small.height,
+            math.rint(mr * 1e6) / 1e6, math.rint(mg * 1e6) / 1e6,
+            math.rint(mb * 1e6) / 1e6)
+        }
+        .toDF("doc_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
+        .orderBy("doc_id")
+    }),
     "m_mjpeg" -> ((s, dir) => {
       // REAL video pixel decode, end to end: per doc a deterministic
       // MJPEG AVI is BUILT (2–4 quality-100 baseline-JPEG frames,
@@ -814,6 +843,7 @@ object SparkEntry {
     "m_resize" -> resizeOracle,
     "m_png" -> resizeOracle,
     "m_jpeg" -> jpegOracle,
+    "m_jpeg_prog" -> jpegOracle,
     "m_mjpeg" -> mjpegOracle,
     "v_import" ->
       """SELECT * FROM (

@@ -702,6 +702,61 @@ class OpsSpec extends SparkSpec {
       graft.ops.PngCodec.encode(4, 4, (x, y) => (x, y, 0))).isEmpty)
   }
 
+  test("jpeg codec: progressive decode = baseline decode, coefficient-exact") {
+    import graft.ops.JpegCodec
+    // successive approximation is exact in the coefficient domain, so
+    // the 10-scan progressive stream must reconstruct the IDENTICAL
+    // pixel array as the single-scan baseline stream of the same image
+    // at the same quality — for every content, quality and sampling.
+    def pix(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 37 + y * 11) % 256, (x * 7 + y * 53) % 256, (x * x + 3 * y) % 256)
+    for {
+      (w, h) <- Seq((24, 16), (37, 23), (8, 8), (17, 1))
+      q <- Seq(90, 50)
+      sub <- Seq(false, true)
+    } {
+      val base = JpegCodec.decode(
+        JpegCodec.encode(w, h, pix, quality = q, subsample420 = sub)).get
+      val prog = JpegCodec.decode(
+        JpegCodec.encodeProgressive(w, h, pix, quality = q,
+          subsample420 = sub)).get
+      assert(prog.width == w && prog.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(prog.pixel(x, y) == base.pixel(x, y),
+          s"($w×$h q=$q sub=$sub) pixel ($x,$y)")
+    }
+
+    // the m_jpeg exactness regime holds through the progressive path too
+    def gray(x: Int, y: Int): Int = (37 + 31 * (x / 8) + 59 * (y / 8)) % 256
+    val ex = JpegCodec.decode(JpegCodec.encodeProgressive(24, 16,
+      (x, y) => (gray(x, y), gray(x, y), gray(x, y)), quality = 100)).get
+    for (y <- 0 until 16; x <- 0 until 24)
+      assert(ex.pixel(x, y) == ((gray(x, y), gray(x, y), gray(x, y))),
+        s"exact ($x,$y)")
+  }
+
+  test("jpeg codec: progressive malformed inputs decode to None") {
+    import graft.ops.JpegCodec
+    def pix(x: Int, y: Int): (Int, Int, Int) = (x * 16 % 256, y * 16 % 256, 128)
+    val good = JpegCodec.encodeProgressive(16, 16, pix)
+    assert(JpegCodec.decode(good).isDefined)
+    // truncations at every length: mid-scan cuts leave sawScan but no
+    // EOI; header cuts leave no SOS — both must yield None, not throw
+    for (cut <- 0 until good.length by 7)
+      assert(JpegCodec.decode(good.take(cut)).isEmpty, s"cut=$cut")
+    // progressive + pixel cap
+    assert(JpegCodec.decode(good, maxPixels = 4L).isEmpty)
+    // illegal band: find the first SOS and corrupt Ss/Se (Ss=0 must
+    // pair with Se=0 in progressive — a baseline-shaped scan is refused)
+    val sos = (0 until good.length - 1).find(i =>
+      (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xDA).get
+    val ns = good(sos + 4) & 0xFF
+    val bad = good.clone()
+    bad(sos + 5 + 2 * ns) = 0.toByte  // Ss = 0
+    bad(sos + 6 + 2 * ns) = 63.toByte // Se = 63 with 3 comps → illegal
+    assert(JpegCodec.decode(bad).isEmpty)
+  }
+
   test("avi codec: MJPEG round-trip, frame sampling, malformed contract") {
     import graft.ops.{AviCodec, JpegCodec}
     def gray(f: Int)(x: Int, y: Int): Int =
