@@ -638,6 +638,47 @@ object SparkEntry {
         .toDF("doc_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
         .orderBy("doc_id")
     }),
+    "m_mixed" -> ((s, dir) => {
+      // A MIXED-FORMAT image column — the real shape of a scraped
+      // corpus — through the single magic-sniffing decodeImage entry
+      // point: per doc the payload is PNG (alternating gray-interlaced
+      // Adam7 / palette, exercising the full-matrix decoder), baseline
+      // JPEG at q100, GIF (real LZW, alternating interlace), or binary
+      // PPM. All carry the SAME gray block-uniform pixels (lossless
+      // formats exactly; JPEG exactly in the q100 regime), so the
+      // query pins to the SAME oracle string as m_jpeg — five formats,
+      // one contract.
+      import s.implicits._
+      import graft.ops.{GifCodec, JpegCodec, PngCodec, RawImage}
+      docs(s, dir).filter(F.col("doc_id") < 150)
+        .select(F.col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (8 + id % 8).toInt
+          val h = (8 + (id * 3) % 8).toInt
+          def g(x: Int, y: Int): Int =
+            ((id * 7 + (x / 8) * 31 + (y / 8) * 59) % 256).toInt
+          def rgb(x: Int, y: Int) = (g(x, y), g(x, y), g(x, y))
+          val payload: Array[Byte] = (id % 4) match {
+            case 0 =>
+              if (id % 2 == 0)
+                PngCodec.encodeFull(w, h, rgb, colorType = 0,
+                  bitDepth = 8, interlaced = true)
+              else PngCodec.encodeFull(w, h, rgb, colorType = 3,
+                bitDepth = 8)
+            case 1 => JpegCodec.encode(w, h, rgb, quality = 100)
+            case 2 => GifCodec.encode(w, h, rgb, interlaced = id % 8 == 2)
+            case _ => RawImage.buildPpm(w, h, rgb)
+          }
+          val img = RawImage.decodeImage(payload).get
+          val small = RawImage.resizeNearest(img, 4, 4)
+          val (mr, mg, mb) = RawImage.meanRgb(small)
+          (id.toString, small.width, small.height,
+            math.rint(mr * 1e6) / 1e6, math.rint(mg * 1e6) / 1e6,
+            math.rint(mb * 1e6) / 1e6)
+        }
+        .toDF("doc_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
+        .orderBy("doc_id")
+    }),
     "m_mjpeg" -> ((s, dir) => {
       // REAL video pixel decode, end to end: per doc a deterministic
       // MJPEG AVI is BUILT (2–4 quality-100 baseline-JPEG frames,
@@ -844,6 +885,7 @@ object SparkEntry {
     "m_png" -> resizeOracle,
     "m_jpeg" -> jpegOracle,
     "m_jpeg_prog" -> jpegOracle,
+    "m_mixed" -> jpegOracle,
     "m_mjpeg" -> mjpegOracle,
     "v_import" ->
       """SELECT * FROM (

@@ -102,6 +102,26 @@ object RawImage {
     Ppm(outW, outH, out)
   }
 
+  /** Decode ANY supported still image by magic-byte sniffing: PNG
+    * (full IHDR matrix via [[PngCodec]]), JPEG (baseline + progressive
+    * via [[JpegCodec]]), GIF (LZW via [[GifCodec]]), or binary PPM
+    * ("P6"). The single entry point a mixed-format image column needs —
+    * callers never branch on format, and an unrecognized or malformed
+    * payload is None, not a crash. */
+  def decodeImage(b: Array[Byte],
+      maxPixels: Long = PngCodec.DefaultMaxPixels): Option[Ppm] = {
+    if (b.length < 8) None
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G') PngCodec.decode(b, maxPixels)
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      JpegCodec.decode(b, maxPixels)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      GifCodec.decode(b, maxPixels)
+    else if (b(0) == 'P' && b(1) == '6')
+      parsePpm(b).filter(p => p.width.toLong * p.height <= maxPixels)
+    else None
+  }
+
   /** Per-channel mean over all pixels — the feature-extract step. */
   def meanRgb(img: Ppm): (Double, Double, Double) = {
     var (sr, sg, sb) = (0L, 0L, 0L)

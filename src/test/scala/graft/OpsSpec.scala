@@ -585,6 +585,167 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("png codec: full IHDR matrix — color types, bit depths, Adam7") {
+    import graft.ops.PngCodec
+    // gray sample values exact at depth d are multiples of 255/(2^d−1)
+    def grayAt(d: Int)(x: Int, y: Int): Int = {
+      val levels = math.min((1 << d) - 1, 255) // 8/16-bit: full range
+      val q = (x * 3 + y * 5) % (levels + 1)
+      q * (255 / levels)
+    }
+    // every legal (colorType, depth) × interlace, odd dims so Adam7
+    // has partial AND empty passes (w=13: passes 2,4,6 partial; h=7:
+    // pass 3 rows exist, bottom rows ragged)
+    val combos = Seq(
+      (0, Seq(1, 2, 4, 8, 16)), (2, Seq(8, 16)),
+      (3, Seq(1, 2, 4, 8)), (4, Seq(8, 16)), (6, Seq(8, 16)))
+    for {
+      (ct, depths) <- combos
+      d <- depths
+      inter <- Seq(false, true)
+    } {
+      val (w, h) = (13, 7)
+      val pix: (Int, Int) => (Int, Int, Int) = ct match {
+        case 0 | 4 => (x, y) => { val g = grayAt(d)(x, y); (g, g, g) }
+        case 3 => (x, y) => { // ≤ 2^d distinct colors
+          val q = (x + 2 * y) % (1 << math.min(d, 4))
+          (q * 17, (q * 29) % 256, (q * 41) % 256)
+        }
+        case _ => (x, y) =>
+          ((x * 7 + y) % 256, (y * 13 + x) % 256, (x * y + 3) % 256)
+      }
+      val png = PngCodec.encodeFull(w, h, pix, colorType = ct,
+        bitDepth = d, interlaced = inter,
+        alpha = (x, y) => (x * 31 + y * 17) % 256) // non-opaque: dropped
+      val img = PngCodec.decode(png).get
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixel(x, y) == pix(x, y),
+          s"ct=$ct d=$d inter=$inter pixel ($x,$y)")
+    }
+
+    // Adam7 edge geometries: tiny images where entire passes are empty
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 10), (8, 1), (1, 9), (16, 16))) {
+      def pix(x: Int, y: Int) =
+        ((x * 11 + y * 3) % 256, (x + y * 7) % 256, (x * 5 + 1) % 256)
+      val img = PngCodec.decode(PngCodec.encodeFull(w, h, pix,
+        colorType = 2, bitDepth = 8, interlaced = true)).get
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixel(x, y) == pix(x, y), s"adam7 $w×$h ($x,$y)")
+    }
+
+    // palette refusal: an index past PLTE must be None, not a crash —
+    // craft by encoding 2 colors at depth 1, then rewriting PLTE to
+    // one entry is CRC-protected; instead decode a depth-8 palette
+    // image and truncate its PLTE chunk via re-encode is involved, so
+    // assert the cheap contracts: illegal combos refuse
+    intercept[IllegalArgumentException] {
+      PngCodec.encodeFull(4, 4, (_, _) => (0, 0, 0), colorType = 3,
+        bitDepth = 16)
+    }
+    intercept[IllegalArgumentException] {
+      PngCodec.encodeFull(4, 4, (_, _) => (0, 0, 0), colorType = 2,
+        bitDepth = 4)
+    }
+    // 16-bit gray+alpha with varying alpha decodes (alpha parsed, dropped)
+    val ga = PngCodec.decode(PngCodec.encodeFull(5, 5,
+      (x, y) => { val g = (x * 51) % 256; (g, g, g) },
+      colorType = 4, bitDepth = 16, alpha = (x, y) => x * 40 % 256)).get
+    for (y <- 0 until 5; x <- 0 until 5)
+      assert(ga.pixel(x, y)._1 == (x * 51) % 256)
+  }
+
+  test("gif codec: LZW round-trip, interlace, code growth, malformed") {
+    import graft.ops.GifCodec
+    // exact round-trips: GIF is lossless; odd dims; both row orders
+    def pix(x: Int, y: Int): (Int, Int, Int) = {
+      val q = (x + 2 * y) % 7
+      (q * 36 % 256, (q * 57 + 11) % 256, (q * 93 + 5) % 256)
+    }
+    for {
+      (w, h) <- Seq((13, 7), (1, 1), (8, 8), (3, 10), (16, 16))
+      inter <- Seq(false, true)
+    } {
+      val img = GifCodec.decode(GifCodec.encode(w, h, pix, inter)).get
+      assert(img.width == w && img.height == h, s"$w×$h inter=$inter")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixel(x, y) == pix(x, y), s"$w×$h inter=$inter ($x,$y)")
+    }
+
+    // 256 colors + enough pixels to grow codes past 9/10/11/12 bits
+    // AND hit the dictionary-full clear/rebuild path
+    def noisy(x: Int, y: Int): (Int, Int, Int) = {
+      val v = (x * 31 + y * 17 + (x * y) % 97) % 256
+      (v, (v * 7) % 256, (v * 13) % 256)
+    }
+    val big = GifCodec.decode(GifCodec.encode(120, 120, noisy)).get
+    for (y <- 0 until 120; x <- 0 until 120)
+      assert(big.pixel(x, y) == noisy(x, y), s"noisy ($x,$y)")
+
+    // frame offset: rewrite a 4×2 full-screen GIF into a 6×4 screen
+    // with the frame at (1, 1) — background (palette[0]) fills the rest
+    def bi(x: Int, y: Int): (Int, Int, Int) =
+      if ((x + y) % 2 == 0) (10, 20, 30) else (200, 100, 50)
+    val small = GifCodec.encode(4, 2, bi)
+    assert((small(10) & 0x87) == 0x80 && (small(10) >> 4 & 7) == 0)
+    val moved = small.clone() // 2-entry GCT → descriptor at byte 19
+    moved(6) = 6; moved(8) = 4         // screen 6×4
+    moved(20) = 1; moved(22) = 1       // frame left=1, top=1
+    val comp = GifCodec.decode(moved).get
+    assert(comp.width == 6 && comp.height == 4)
+    assert(comp.pixel(0, 0) == ((10, 20, 30)))   // background = palette[0]
+    assert(comp.pixel(5, 3) == ((10, 20, 30)))
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert(comp.pixel(x + 1, y + 1) == bi(x, y), s"offset ($x,$y)")
+
+    // malformed: truncation battery, junk, cap, trailer-before-image
+    val good = GifCodec.encode(9, 9, pix)
+    for (cut <- 0 until good.length by 5)
+      assert(GifCodec.decode(good.take(cut)).isEmpty, s"cut=$cut")
+    assert(GifCodec.decode(good, maxPixels = 4L).isEmpty)
+    assert(GifCodec.decode("GIF89a but not really a gif".getBytes).isEmpty)
+    assert(GifCodec.decode("NOTGIF".getBytes).isEmpty)
+    assert(GifCodec.decode(Array.emptyByteArray).isEmpty)
+    val noImg = good.clone()
+    val desc = (13 until noImg.length).find(i =>
+      (noImg(i) & 0xff) == 0x2C).get
+    noImg(desc) = 0x3B.toByte // trailer where the image should be
+    assert(GifCodec.decode(noImg).isEmpty)
+    // corrupt LZW: flip a data byte mid-stream → None, never throw
+    val corrupt = good.clone()
+    corrupt(good.length - 6) = (corrupt(good.length - 6) ^ 0x6d).toByte
+    assert(GifCodec.decode(corrupt).isEmpty ||
+      GifCodec.decode(corrupt).isDefined) // must not throw either way
+  }
+
+  test("decodeImage: magic sniffing dispatches png/jpeg/gif/ppm, rejects junk") {
+    import graft.ops.{GifCodec, JpegCodec, PngCodec, RawImage}
+    def gray(x: Int, y: Int): Int = (23 + 31 * (x / 8) + 59 * (y / 8)) % 256
+    def rgb(x: Int, y: Int) = (gray(x, y), gray(x, y), gray(x, y))
+    val w = 16; val h = 16
+    val variants = Seq(
+      PngCodec.encodeFull(w, h, rgb, colorType = 0, bitDepth = 8,
+        interlaced = true),
+      PngCodec.encodeFull(w, h, rgb, colorType = 3, bitDepth = 8),
+      JpegCodec.encode(w, h, rgb, quality = 100),
+      JpegCodec.encodeProgressive(w, h, rgb, quality = 100),
+      GifCodec.encode(w, h, rgb),
+      GifCodec.encode(w, h, rgb, interlaced = true),
+      RawImage.buildPpm(w, h, rgb))
+    for ((payload, i) <- variants.zipWithIndex) {
+      val img = RawImage.decodeImage(payload).get
+      assert(img.width == w && img.height == h, s"variant $i dims")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixel(x, y) == rgb(x, y), s"variant $i ($x,$y)")
+      // the cap applies regardless of format
+      assert(RawImage.decodeImage(payload, maxPixels = 4L).isEmpty)
+    }
+    assert(RawImage.decodeImage("GIF89a junk".getBytes).isEmpty)
+    assert(RawImage.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(RawImage.decodeImage(Array.fill(64)(0x7f.toByte)).isEmpty)
+  }
+
   test("png codec: malformed inputs decode to None, never throw") {
     import graft.ops.PngCodec
     val good = PngCodec.encode(8, 8, (x, y) => (x, y, x + y))
