@@ -19,8 +19,12 @@ private[graft] object FormatSpecs {
   private val h = "[0-9A-Fa-f]{1,4}"
 
   val specs: Map[String, Spec] = Map(
-    "date" -> Spec(Seq(
-      "^\\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])$")),
+    // month-length aware: Feb 30/31 and day-31 in 30-day months are
+    // rejected; Feb 29 in non-leap years needs arithmetic a regex
+    // conjunction can't express — documented narrowing, not checked
+    "date" -> Spec(
+      Seq("^\\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])$"),
+      Seq("-02-3[01]$", "-(04|06|09|11)-31$")),
     "date-time" -> Spec(Seq(
       "^\\d{4}-\\d{2}-\\d{2}[Tt ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?" +
         "([Zz]|[+-]\\d{2}:\\d{2})?$")),

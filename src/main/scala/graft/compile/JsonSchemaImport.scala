@@ -259,7 +259,11 @@ object JsonSchemaImport {
       * additional fields, so the keyword is structural there). */
     def mapFlavored(s: JsonNode): Boolean =
       Seq("patternProperties", "propertyNames",
-        "minProperties", "maxProperties").exists(s.has) ||
+        "minProperties", "maxProperties",
+        // unevaluatedProperties is about ARBITRARY keys — on a fixed
+        // struct there is nothing unevaluated (the ROW level refuses
+        // it), so its presence marks the map flavor
+        "unevaluatedProperties").exists(s.has) ||
         (s.has("additionalProperties") && !s.has("properties"))
 
     def allOfWrap(path: String, cs: Seq[Constraint]): Constraint = cs match {
@@ -571,11 +575,30 @@ object JsonSchemaImport {
             allOfWrap(path, lower(e.getValue, path, refs, depth, pol, curBase)))
         }
         Option(s.get("unevaluatedProperties")).foreach { u =>
-          // declared coverage is computed by the compiler's
-          // resolveUnevaluated pass from sibling PropertyValues/
-          // PatternValues/KeysIn on the same column
+          // Static coverage: sibling properties/patternProperties, plus
+          // those of allOf branches (recursively) — allOf branches
+          // ALWAYS apply, so counting them is verdict-exact: when a
+          // branch fails the instance fails regardless of coverage.
+          // anyOf/oneOf/if-then coverage needs runtime annotation flow
+          // and is deliberately NOT counted (conservative static
+          // approximation; cf. reference skip list,
+          // Draft2020Runner.java:196-201). The compiler's
+          // resolveUnevaluated pass UNIONs in whatever sibling
+          // PropertyValues/PatternValues it can see at the top level.
+          def staticCoverage(n: JsonNode): (Seq[String], Seq[String]) = {
+            val ks = Option(n.get("properties")).filter(_.isObject)
+              .map(_.fieldNames().asScala.toSeq).getOrElse(Nil)
+            val ps = Option(n.get("patternProperties")).filter(_.isObject)
+              .map(_.fieldNames().asScala.toSeq).getOrElse(Nil)
+            val nested = Option(n.get("allOf")).filter(_.isArray)
+              .map(_.elements().asScala.toSeq).getOrElse(Nil)
+              .map(staticCoverage)
+            (ks ++ nested.flatMap(_._1), ps ++ nested.flatMap(_._2))
+          }
+          val (ck, cp) = staticCoverage(s)
           out += UnevaluatedProperties(fresh(path, "unevalProps"), path,
-            allOfWrap("$", lower(u, "$", refs, depth + 1, pol, curBase)))
+            allOfWrap("$", lower(u, "$", refs, depth + 1, pol, curBase)),
+            ck.distinct, cp.distinct)
         }
       } else {
         def childPath(p: String): String =
