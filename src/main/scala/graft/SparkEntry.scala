@@ -434,6 +434,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d_decontam_bloom" -> ((s, dir) => {
+      // the same contamination check through the Bloom-pruned path (the
+      // too-big-to-broadcast benchmark shape): bloom prunes the corpus
+      // shingles in codegen, survivors verify in an ordinary join —
+      // result identical by construction, pinned to d_decontam's oracle
+      val corpus = nearDupCorpus(s, dir)
+      val bench = docs(s, dir).filter(F.col("doc_id") < 20)
+        .select(F.col("text"))
+      graft.ops.Decontaminate.contaminationHitsBloom(
+          corpus, "doc_id", "text", bench, "text", k = 8, fpp = 0.001)
+        .orderBy("doc_id")
+    }),
+
+    "d_sample" -> ((s, dir) => {
+      // deterministic stratified sampling of the training mix: keep 50%
+      // of en, 35% of zh, 20% of everything else — membership a pure
+      // function of doc_id (stable under repartition/resume), bucket
+      // emitted for audit. DuckDB replays the congruential arithmetic
+      // verbatim, so the kept set matches value-exactly.
+      graft.ops.Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 0.35), defaultRate = 0.2)
+        .select(F.col("doc_id"), F.col("lang"), F.col("source"),
+          F.col("sample_bucket"))
+        .orderBy("doc_id")
+    }),
+
+    "t_repetition" -> ((s, dir) => {
+      // Gopher-style 2-gram repetition profile per document: total /
+      // distinct gram counts, top-gram share, duplicate fraction
+      graft.ops.TextAnalysis.ngramRepetition(
+          docs(s, dir), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search -------------------------------------------
     "s_knn_brute" -> ((s, dir) => {
       val e = table(s, dir, "embeddings").select(
@@ -1185,30 +1219,40 @@ object SparkEntry {
          |SELECT src AS doc_id, MIN(node) AS group_id,
          |       (src = MIN(node)) AS keep
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
-    "d_decontam" ->
-      s"""WITH $NearDupCorpusSql,
-         |cg AS (SELECT id, list_distinct(
-         |    CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
-         |    ELSE list_transform(range(1, len(w) - 6),
-         |      i -> array_to_string(w[i:i+7], ' ')) END) AS grams
-         |  FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-         |        FROM corpus)),
-         |bg AS (SELECT list_distinct(
-         |    CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
-         |    ELSE list_transform(range(1, len(w) - 6),
-         |      i -> array_to_string(w[i:i+7], ' ')) END) AS grams
-         |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-         |        FROM documents WHERE doc_id < 20)),
-         |bset AS (SELECT list(DISTINCT sh) AS bl
-         |         FROM (SELECT unnest(grams) AS sh FROM bg))
-         |SELECT id AS doc_id,
-         |  CAST(len(list_intersect(grams, bl)) AS BIGINT) AS n_hits,
-         |  CAST(len(grams) AS INTEGER) AS n_grams,
-         |  ROUND(CAST(len(list_intersect(grams, bl)) AS DOUBLE)
-         |    / len(grams), 6) AS contained_frac
-         |FROM cg CROSS JOIN bset
-         |WHERE len(list_intersect(grams, bl)) >= 1
-         |ORDER BY doc_id""".stripMargin,
+    "d_decontam" -> decontamOracleSql,
+    // identical result contract to d_decontam — the bloom pre-filter
+    // must only prune the plan, never the verified hit set (no false
+    // negatives + exact verify); ONE oracle string serves both
+    "d_decontam_bloom" -> decontamOracleSql,
+    // the congruential bucket replayed verbatim: ((id % 2^31) * A + C)
+    // % 2^31, thresholds = floor(rate * 2^31) for en/zh/default
+    "d_sample" ->
+      """SELECT doc_id, lang, source,
+        |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
+        |    AS sample_bucket
+        |FROM documents
+        |WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 <
+        |  CASE WHEN lang = 'en' THEN 1073741824
+        |       WHEN lang = 'zh' THEN 751619276
+        |       ELSE 429496729 END
+        |ORDER BY doc_id""".stripMargin,
+    "t_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)),
+        |      i -> array_to_string(w[i:i+1], ' ')) END) AS gram
+        |  FROM w),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(MAX(cnt) AS BIGINT) AS top_count,
+        |  ROUND(1 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS dup_frac,
+        |  ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_embed" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings WHERE vec_id < 200),
@@ -1290,6 +1334,36 @@ object SparkEntry {
         |          WHERE i < 5 + doc_id % 10)
         |       END AS INTEGER) AS byte_len
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin)
+
+  /** Exact-intersection contamination oracle over the near-dup corpus —
+    * shared verbatim by `d_decontam` (exact broadcast join) and
+    * `d_decontam_bloom` (bloom-pruned shuffle join): the bloom path has
+    * no false negatives and exactly verifies survivors, so the two
+    * plans must produce one result. */
+  private lazy val decontamOracleSql: String =
+    s"""WITH $NearDupCorpusSql,
+       |cg AS (SELECT id, list_distinct(
+       |    CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+       |    ELSE list_transform(range(1, len(w) - 6),
+       |      i -> array_to_string(w[i:i+7], ' ')) END) AS grams
+       |  FROM (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |        FROM corpus)),
+       |bg AS (SELECT list_distinct(
+       |    CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+       |    ELSE list_transform(range(1, len(w) - 6),
+       |      i -> array_to_string(w[i:i+7], ' ')) END) AS grams
+       |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |        FROM documents WHERE doc_id < 20)),
+       |bset AS (SELECT list(DISTINCT sh) AS bl
+       |         FROM (SELECT unnest(grams) AS sh FROM bg))
+       |SELECT id AS doc_id,
+       |  CAST(len(list_intersect(grams, bl)) AS BIGINT) AS n_hits,
+       |  CAST(len(grams) AS INTEGER) AS n_grams,
+       |  ROUND(CAST(len(list_intersect(grams, bl)) AS DOUBLE)
+       |    / len(grams), 6) AS contained_frac
+       |FROM cg CROSS JOIN bset
+       |WHERE len(list_intersect(grams, bl)) >= 1
+       |ORDER BY doc_id""".stripMargin
 
   /** Brute-force exact-Jaccard pair oracle over the near-dup corpus
     * (with the sound size-ratio prefilter) — shared verbatim by

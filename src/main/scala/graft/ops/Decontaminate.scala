@@ -39,22 +39,71 @@ object Decontaminate {
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, k: Int = 8): DataFrame = {
     val benchSh = benchmarkShingles(bench, benchTextCol, k)
-    // per-ROW key, deterministic from content: duplicate doc_ids (which
-    // this pipeline's sibling dedup ops exist to find!) must not merge
-    // into one group — summed hits over first()'s arbitrary n_grams
-    // gave nondeterministic fractions that could exceed 1.0
-    val docSh = docs
+    hitCounts(
+      docShingles(docs, idCol, textCol, k)
+        .join(F.broadcast(benchSh), Seq("_sh")))
+  }
+
+  /** [[contaminationHits]] for a benchmark set too large to broadcast
+    * as an exact hash table (a full eval-suite shingle inventory at
+    * 10^12-doc scale runs to GBs of longs): a Bloom filter of the
+    * benchmark shingles — a few MB of bits, built distributed via
+    * `stat.bloomFilter`'s treeAggregate — prunes the corpus's exploded
+    * shingles in whole-stage codegen BEFORE any join, and only the
+    * survivors (true hits + an `fpp` sliver of the scan) enter an
+    * ordinary shuffle join against the exact set for verification.
+    * Bloom filters have no false negatives and every survivor is
+    * exactly verified, so the output is IDENTICAL to
+    * [[contaminationHits]] — the driver query `d_decontam_bloom` pins
+    * both paths to one shared oracle string. The corpus text still
+    * never moves; what shuffles is the pruned `(doc_id, shingle)`
+    * survivor stream, smaller than the unpruned one by ~1/fpp. */
+  def contaminationHitsBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 8,
+      fpp: Double = 0.001): DataFrame = {
+    val benchSh = benchmarkShingles(bench, benchTextCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = math.max(benchSh.count(), 1L)
+      val bloom = benchSh.stat.bloomFilter("_sh", n, fpp)
+      val bytes = {
+        val out = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(out)
+        out.toByteArray
+      }
+      val pruned = docShingles(docs, idCol, textCol, k)
+        .filter(org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.BloomMightContain(
+            org.apache.spark.sql.GraftSqlBridge.expression(F.col("_sh")),
+            bytes)))
+        // exact verify of the bloom survivors — deliberately NOT
+        // broadcast: not fitting in a broadcast is this path's premise
+        .join(benchSh, Seq("_sh"))
+      hitCounts(pruned)
+    } finally benchSh.unpersist()
+  }
+
+  /** Corpus-side distinct shingles, exploded, with a per-ROW key
+    * deterministic from content: duplicate doc_ids (which this
+    * pipeline's sibling dedup ops exist to find!) must not merge into
+    * one group — summed hits over first()'s arbitrary n_grams gave
+    * nondeterministic fractions that could exceed 1.0. */
+  private def docShingles(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    docs
       .filter(F.length(F.trim(F.col(textCol))) > 0)
       .select(
         F.col(idCol).cast("string").as("doc_id"),
         F.xxhash64(F.col(idCol).cast("string"), F.col(textCol)).as("_rk"),
         F.array_distinct(TextAnalysis.shingleHashes(F.col(textCol), k))
           .as("_grams"))
-    docSh
       .select(F.col("doc_id"), F.col("_rk"),
         F.size(F.col("_grams")).as("n_grams"),
         F.explode(F.col("_grams")).as("_sh"))
-      .join(F.broadcast(benchSh), Seq("_sh"))
+
+  private def hitCounts(joined: DataFrame): DataFrame =
+    joined
       .groupBy("doc_id", "_rk", "n_grams")
       // DISTINCT matched shingles, not joined rows: rows with identical
       // (doc_id, text) share the content-derived _rk and merge into one
@@ -65,5 +114,4 @@ object Decontaminate {
       .select(F.col("doc_id"), F.col("n_hits"), F.col("n_grams"),
         F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6)
           .as("contained_frac"))
-  }
 }

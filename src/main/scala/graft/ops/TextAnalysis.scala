@@ -131,6 +131,40 @@ object TextAnalysis {
     F.xxhash64(F.trim(F.regexp_replace(
       F.lower(F.regexp_replace(text, "[\\p{Punct}]", "")), "\\s+", " ")))
 
+  /** Per-document n-gram repetition profile (the Gopher repetition
+    * rules, arXiv:2112.11446 §A1.1, in word-n-gram form — the input
+    * corpus is single-line, so the line/paragraph variants degenerate):
+    * total and distinct word-n-gram counts, the top n-gram's frequency,
+    * `dup_frac` = fraction of n-gram occurrences that are repeats, and
+    * `top_frac` = the most-repeated n-gram's share. High values flag
+    * boilerplate / keyword-stuffed / looping documents for the quality
+    * filter.
+    *
+    * Scale shape: one scan → codegen [[graft.functions.ShingleHashes]]
+    * projection → explode → two-level hash aggregate. The shuffle
+    * carries only `(doc_id, gram_hash)` pairs with map-side partial
+    * counting — the text itself never moves, and the per-doc second
+    * aggregate is a near-no-op after the first collapses duplicates.
+    * Texts shorter than n words profile as one whole-text gram
+    * (matching [[shingleHashes]]'s short-array contract); blank text is
+    * excluded. */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame =
+    df.filter(F.length(F.trim(F.col(textCol))) > 0)
+      .select(F.col(idCol).cast("long").as("doc_id"),
+        F.explode(shingleHashes(F.col(textCol), n)).as("_g"))
+      .groupBy("doc_id", "_g").agg(F.count(F.lit(1)).as("_cnt"))
+      .groupBy("doc_id").agg(
+        F.sum("_cnt").as("n_grams"),
+        F.count(F.lit(1)).as("n_distinct"),
+        F.max("_cnt").as("top_count"))
+      .select(F.col("doc_id"), F.col("n_grams"), F.col("n_distinct"),
+        F.col("top_count"),
+        F.round(F.lit(1.0) - F.col("n_distinct").cast("double") /
+          F.col("n_grams"), 6).as("dup_frac"),
+        F.round(F.col("top_count").cast("double") / F.col("n_grams"), 6)
+          .as("top_frac"))
+
   /** Rolling-hash shingle fingerprints: hashes of each k-word window —
     * the building block for containment/near-dup detection. Runs in the
     * custom codegen expression [[graft.functions.ShingleHashes]] (the

@@ -1067,4 +1067,100 @@ class OpsSpec extends SparkSpec {
     assert(hits(0).getAs[Long]("n_hits") == 5L)
     assert(hits(0).getAs[Int]("n_grams") == 7)
   }
+
+  test("bloom-pruned decontamination equals the exact broadcast path") {
+    import graft.ops.Decontaminate
+    val bench = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine ten").toDF("text")
+    val corpus = Seq(
+      ("c1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("c2", "zero one two three four five six seven eight nine ten eleven"),
+      ("c3", "completely unrelated words nothing shared with the benchmark set here"),
+      ("c4", "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("doc_id"),
+        r.getAs[Long]("n_hits"), r.getAs[Int]("n_grams"),
+        r.getAs[Double]("contained_frac"))).toSet
+    val exact = rows(Decontaminate.contaminationHits(
+      corpus, "id", "text", bench, "text", k = 4))
+    val bloom = rows(Decontaminate.contaminationHitsBloom(
+      corpus, "id", "text", bench, "text", k = 4, fpp = 0.01))
+    assert(exact.nonEmpty, "fixture must actually contaminate")
+    assert(bloom == exact,
+      s"bloom path diverged:\n  exact=$exact\n  bloom=$bloom")
+  }
+
+  test("bloom_might_contain has no false negatives over inserted hashes") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val vals = spark.range(0, 2000).select(
+      F.xxhash64(F.col("id")).as("_sh"))
+    val bloom = vals.stat.bloomFilter("_sh", 2000, 0.01)
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    val probe = GraftSqlBridge.column(graft.functions.BloomMightContain(
+      GraftSqlBridge.expression(F.col("_sh")), out.toByteArray))
+    // every inserted hash must probe true (bloom contract), under both
+    // the codegen and interpreted paths (the filter runs codegen'd)
+    assert(vals.filter(!probe).count() == 0L)
+    // and the filter must actually prune: unrelated hashes mostly miss
+    val misses = spark.range(1000000, 1002000)
+      .select(F.xxhash64(F.col("id")).as("_sh"))
+      .filter(!probe).count()
+    assert(misses > 1800L, s"bloom pruned only ${2000 - misses}/2000 misses")
+  }
+
+  test("ngram repetition profile matches hand counts") {
+    val d = Seq(
+      ("1", "a b a b a"),          // 2-grams: ab,ba,ab,ba → 4 total, 2 distinct
+      ("2", "hello"),              // shorter than n → one whole-text gram
+      ("3", "x y z"),              // xy, yz — all distinct
+      ("4", "  "))                 // blank: excluded
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.ngramRepetition(d, "doc_id", "text", n = 2)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L).getAs[Long]("n_grams") == 4L)
+    assert(r(1L).getAs[Long]("n_distinct") == 2L)
+    assert(r(1L).getAs[Long]("top_count") == 2L)
+    assert(r(1L).getAs[Double]("dup_frac") == 0.5)
+    assert(r(1L).getAs[Double]("top_frac") == 0.5)
+    assert(r(2L).getAs[Long]("n_grams") == 1L)
+    assert(r(2L).getAs[Double]("dup_frac") == 0.0)
+    assert(r(3L).getAs[Long]("n_distinct") == 2L)
+    assert(r(3L).getAs[Long]("top_count") == 1L)
+  }
+
+  test("deterministic sampling: keyed, stratified, partitioning-proof") {
+    import graft.ops.Sampling
+    val d = spark.range(0, 10000).select(
+      F.col("id").as("doc_id"),
+      F.when(F.col("id") % 3 === 0, "en").otherwise("zh").as("lang"))
+    // membership is a pure function of the key: same set at any
+    // parallelism (df.sample would differ under repartition)
+    val once = Sampling.hashSample(d, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.hashSample(d.repartition(7), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again)
+    // the Scala replay of the congruential bucket agrees row-for-row
+    val expected = (0L until 10000L).filter(k =>
+      ((k % Sampling.Modulus) * 1103515245L + 12345L) % Sampling.Modulus <
+        (0.3 * Sampling.Modulus).toLong).toSet
+    assert(once == expected)
+    // stratified: each stratum sampled at ITS rate, bucket emitted
+    val strat = Sampling.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 0.9), defaultRate = 0.1)
+    val byLang = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nEn = d.filter($"lang" === "en").count().toDouble
+    val nZh = d.filter($"lang" === "zh").count().toDouble
+    assert(math.abs(byLang("en") / nEn - 0.9) < 0.05)
+    assert(math.abs(byLang("zh") / nZh - 0.1) < 0.05)
+    assert(strat.filter($"sample_bucket" >= Sampling.Modulus).count() == 0)
+    // rate edges
+    assert(Sampling.hashSample(d, "doc_id", 0.0).count() == 0L)
+    assert(Sampling.hashSample(d, "doc_id", 1.0).count() == 10000L)
+  }
 }
