@@ -67,7 +67,8 @@ object JsonSchemaImport {
     "$schema", "$id", "id", "$comment", "$vocabulary", "title",
     "description", "default", "examples", "deprecated", "readOnly",
     "writeOnly", "contentMediaType", "contentEncoding", "contentSchema",
-    "$defs", "definitions", "$anchor", "$dynamicAnchor")
+    "$defs", "definitions", "$anchor", "$dynamicAnchor",
+    "$recursiveAnchor")
 
   /** Keyword values that hold DATA, not subschemas — identifier
     * indexing must not descend into them. */
@@ -81,7 +82,7 @@ object JsonSchemaImport {
     "properties", "required", "patternProperties", "propertyNames",
     "additionalProperties", "minProperties", "maxProperties",
     "dependentRequired", "dependentSchemas", "allOf", "anyOf", "oneOf",
-    "not", "if", "then", "else", "$ref", "$dynamicRef",
+    "not", "if", "then", "else", "$ref", "$dynamicRef", "$recursiveRef",
     "unevaluatedItems", "unevaluatedProperties", "dependencies")
 
   /** Synthetic base URI for a root document without an absolute `$id`
@@ -172,8 +173,18 @@ object JsonSchemaImport {
     // enclosing $id
     val docs = scala.collection.mutable.Map[String, JsonNode]()
     val anchors = scala.collection.mutable.Map[(String, String), JsonNode]()
+    // 2020-12 bookending needs to know which anchors were declared
+    // DYNAMIC ($dynamicAnchor, not $anchor) — same (docUri, name) key
+    val dynAnchors = scala.collection.mutable.Set[(String, String)]()
+    // 2019-09: schema resources whose ROOT carries `$recursiveAnchor:
+    // true` — the candidates a `$recursiveRef: "#"` can rebind to
+    val recursiveHeads = scala.collection.mutable.Set[String]()
+    def markRecursiveHead(n: JsonNode, docUri: String): Unit =
+      if (Option(n.get("$recursiveAnchor")).exists(a =>
+          a.isBoolean && a.asBoolean())) recursiveHeads += docUri
     def indexDoc(node: JsonNode, baseUri: String): Unit = {
       docs.getOrElseUpdate(canonDoc(baseUri), node)
+      markRecursiveHead(node, canonDoc(baseUri))
       def walk(n: JsonNode, b: String): Unit =
         if (n.isObject) {
           // draft-4 spells the keyword `id`; a plain-fragment id
@@ -185,10 +196,13 @@ object JsonSchemaImport {
             .foreach(i => anchors((b, i.drop(1))) = n)
           val nb = idOf.filterNot(_.startsWith("#"))
             .map(i => canonDoc(resolveUri(b, i))).getOrElse(b)
-          if (nb != b) docs.getOrElseUpdate(nb, n)
+          if (nb != b) { docs.getOrElseUpdate(nb, n); markRecursiveHead(n, nb) }
           Seq("$anchor", "$dynamicAnchor").foreach(k =>
             Option(n.get(k)).filter(_.isTextual)
-              .foreach(a => anchors((nb, a.asText())) = n))
+              .foreach { a =>
+                anchors((nb, a.asText())) = n
+                if (k == "$dynamicAnchor") dynAnchors += ((nb, a.asText()))
+              })
           n.properties().asScala
             // enum/const/default/examples hold DATA, not schemas — an
             // "$id"/"$anchor" key inside them is not an identifier
@@ -303,6 +317,16 @@ object JsonSchemaImport {
       * — genuinely unbounded, refused; re-entry deeper UNROLLS up to
       * `maxUnroll`, then cuts to a fail-closed `false` schema (data
       * nested past the budget is invalid, never silently accepted). */
+    // The DYNAMIC SCOPE of the lowering walk: the chain of schema
+    // resources entered along the current inline path, outermost
+    // first. Static inlining makes this stack at each inline site
+    // exactly the runtime dynamic scope of that evaluation path, so
+    // 2020-12 `$dynamicRef` bookending and 2019-09 `$recursiveRef`
+    // rebinding resolve per-site with plain list search (the official
+    // suite's "not predictable at schema compile time" cases become
+    // predictable per inlined path).
+    val dynScope = scala.collection.mutable.ListBuffer[String]()
+
     def lower(s: JsonNode, path: String,
         refs: Map[String, (Int, Int)], depth: Int,
         pol: Int, base: String): Seq[Constraint] = {
@@ -318,7 +342,15 @@ object JsonSchemaImport {
       val curBase = Option(s.get("$id")).orElse(Option(s.get("id")))
         .filter(_.isTextual).map(_.asText()).filterNot(_.startsWith("#"))
         .map(i => canonDoc(resolveUri(base, i))).getOrElse(base)
+      val enteredResource = !dynScope.lastOption.contains(canonDoc(curBase))
+      if (enteredResource) dynScope += canonDoc(curBase)
+      try lowerBody(s, path, refs, depth, pol, curBase)
+      finally if (enteredResource) dynScope.remove(dynScope.size - 1)
+    }
 
+    def lowerBody(s: JsonNode, path: String,
+        refs: Map[String, (Int, Int)], depth: Int,
+        pol: Int, curBase: String): Seq[Constraint] = {
       s.fieldNames().asScala.foreach { k =>
         if (!Handled.contains(k) && !Ignored.contains(k))
           throw new ImportException(
@@ -327,13 +359,49 @@ object JsonSchemaImport {
       }
       val out = Seq.newBuilder[Constraint]
 
-      // ---- $ref / $dynamicRef: inline at this path ------------------
-      Seq("$ref", "$dynamicRef").foreach { kw =>
+      // ---- $ref / $dynamicRef / $recursiveRef: inline at this path ---
+      Seq("$ref", "$dynamicRef", "$recursiveRef").foreach { kw =>
         Option(s.get(kw)).foreach { r =>
-          // cycle/unroll tracking keys on the ABSOLUTE form, so the
-          // same target reached via different spellings (relative ref,
-          // rebased ref, pointer) is one ref, not several
-          val ref = resolveUri(curBase, r.asText())
+          // cycle/unroll tracking keys on the ABSOLUTE form of the
+          // EFFECTIVE target, so the same target reached via different
+          // spellings (relative ref, rebased ref, pointer, rebound
+          // dynamic ref) is one ref, not several
+          val ref = kw match {
+            case "$recursiveRef" =>
+              // 2019-09: value must be "#"; resolves to the current
+              // resource root UNLESS that root carries
+              // `$recursiveAnchor: true`, in which case it rebinds to
+              // the OUTERMOST resource in the dynamic scope that also
+              // does (spec §8.2.4.2.1)
+              if (r.asText() != "#") throw new ImportException(
+                s"invalid \\$$recursiveRef '${r.asText()}' at '$path' " +
+                  "— 2019-09 only allows the value '#'")
+              val staticDoc = canonDoc(curBase)
+              val effDoc =
+                if (recursiveHeads.contains(staticDoc))
+                  dynScope.find(recursiveHeads.contains)
+                    .getOrElse(staticDoc)
+                else staticDoc
+              effDoc + "#"
+            case "$dynamicRef" =>
+              // 2020-12 bookending: a plain-anchor fragment whose
+              // STATIC target was declared with `$dynamicAnchor`
+              // rebinds to the OUTERMOST resource in the dynamic scope
+              // declaring that dynamic anchor; otherwise (pointer
+              // fragment, or the target is a plain `$anchor`) it
+              // behaves exactly like `$ref` (spec §8.2.3.2)
+              val abs = resolveUri(curBase, r.asText())
+              val staticDoc = canonDoc(abs) match {
+                case "" => canonDoc(curBase)
+                case u  => u
+              }
+              fragOf(abs).filter(a => a.nonEmpty && !a.startsWith("/"))
+                .filter(a => dynAnchors.contains((staticDoc, a)))
+                .flatMap(a => dynScope.find(d => dynAnchors.contains((d, a)))
+                  .map(d => s"$d#$a"))
+                .getOrElse(abs)
+            case _ => resolveUri(curBase, r.asText())
+          }
           refs.get(ref) match {
             case Some((d, _)) if d == depth =>
               throw new ImportException(s"cyclic ref '$ref' with no " +

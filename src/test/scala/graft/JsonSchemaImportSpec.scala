@@ -327,6 +327,26 @@ class JsonSchemaImportSpec extends SparkSpec {
     assert(e4.getMessage.contains("http://h/bad.json"))
   }
 
+  test("$recursiveRef: only the value '#' is legal; a same-depth " +
+      "self-reference still raises the cycle error") {
+    // 2019-09 grammar: $recursiveRef must be exactly "#"
+    val e1 = intercept[JsonSchemaImport.ImportException] {
+      JsonSchemaImport.translate("""{"type":"object",
+        "properties":{"a":{"$recursiveRef":"#/$defs/x"}},
+        "$defs":{"x":{"minimum":0}}}""")
+    }
+    assert(e1.getMessage.contains("$recursiveRef"))
+    assert(e1.getMessage.contains("#"))
+    // a root-level $recursiveRef consumes no instance nesting — the
+    // same no-progress cycle error as $ref "#"
+    val e2 = intercept[JsonSchemaImport.ImportException] {
+      JsonSchemaImport.translate(
+        """{"type":"object","$recursiveAnchor":true,
+           "allOf":[{"$recursiveRef":"#"}]}""")
+    }
+    assert(e2.getMessage.contains("cyclic"))
+  }
+
   test("unknown assertion keyword refuses to under-enforce") {
     val e = intercept[JsonSchemaImport.ImportException] {
       JsonSchemaImport.translate(
