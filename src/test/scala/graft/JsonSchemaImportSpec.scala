@@ -347,6 +347,19 @@ class JsonSchemaImportSpec extends SparkSpec {
     assert(e2.getMessage.contains("cyclic"))
   }
 
+  test("$id inside enum values is data, not an identifier") {
+    // official-suite unknownKeyword.json property: identifier-shaped
+    // keys inside DATA keywords must not be indexed — a $ref to the
+    // decoy URI must fail as unknown, never resolve to the enum member
+    val e = intercept[JsonSchemaImport.ImportException] {
+      JsonSchemaImport.translate("""{"type":"object",
+        "$defs":{"decoy":{"enum":[{"$id":"https://x/int.json","maximum":5}]}},
+        "properties":{"n_tok":{"$ref":"https://x/int.json"}}}""")
+    }
+    assert(e.getMessage.contains("unknown document"))
+    assert(e.getMessage.contains("https://x/int.json"))
+  }
+
   test("unknown assertion keyword refuses to under-enforce") {
     val e = intercept[JsonSchemaImport.ImportException] {
       JsonSchemaImport.translate(
