@@ -67,6 +67,6 @@ class ConformanceSpec extends SparkSpec {
     info(s"conformance: $passed passed, $failed failed " +
       f"(${100.0 * passed / (passed + failed)}%.1f%% pass rate)")
     assert(failed == 0, failures.result().mkString("\n"))
-    assert(passed >= 650, "corpus unexpectedly small")
+    assert(passed >= 820, "corpus unexpectedly small")
   }
 }

@@ -65,7 +65,7 @@ class DocValidatorSpec extends AnyFunSuite {
     info(s"doc-engine conformance: $passed passed, ${failed.size} " +
       s"failed, $skippedSql SQL-expression case groups skipped")
     assert(failed.isEmpty, failed.mkString("\n"))
-    assert(passed >= 650)
+    assert(passed >= 830)
   }
 
   test("schema conformance corpus: imported schemas agree too") {
@@ -90,7 +90,7 @@ class DocValidatorSpec extends AnyFunSuite {
     val failed = failures.result()
     info(s"doc-engine schema conformance: $passed passed, ${failed.size} failed")
     assert(failed.isEmpty, failed.mkString("\n"))
-    assert(passed >= 380)
+    assert(passed >= 560)
   }
 
   test("single-document API: boolean path, details, error surface") {

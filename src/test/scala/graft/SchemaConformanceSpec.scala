@@ -51,6 +51,6 @@ class SchemaConformanceSpec extends SparkSpec {
     }
     info(s"schema conformance: $passed passed, $failed failed")
     assert(failed == 0, failures.result().mkString("\n"))
-    assert(passed >= 350, "schema corpus unexpectedly small")
+    assert(passed >= 520, "schema corpus unexpectedly small")
   }
 }
