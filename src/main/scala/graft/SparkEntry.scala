@@ -326,12 +326,12 @@ object SparkEntry {
       // standing in for the parquet staging table DedupBench writes),
       // then banded and verify-joined with no signature recompute.
       // Must produce the exact same verified pair set as d_minhash.
+      // minJaccard = 0 means the est-Jaccard join-back would prune
+      // nothing — band pairs go straight to the exact verify
       val corpus = nearDupCorpus(s, dir)
       val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text",
         numHashes = 64).localCheckpoint()
-      val cands = Dedup.minhashCandidatesFromSigs(sigs,
-          numHashes = 64, bands = 32, minJaccard = 0.0)
-        .select("id_a", "id_b")
+      val cands = Dedup.minhashBandPairs(sigs, numHashes = 64, bands = 32)
       Dedup.ngramJaccard(cands, corpus, "doc_id", "text", k = 5)
         .filter(F.col("jaccard") >= 0.8)
         .select("id_a", "id_b", "jaccard")
@@ -352,9 +352,19 @@ object SparkEntry {
         (F.col("doc_id") + 2000000).as("doc_id"),
         F.regexp_replace(F.col("text"), " ", "  ").as("text"))
       val corpus = nearDupCorpus(s, dir).unionAll(copies)
+      // candidate set materialized once (small by the banding contract)
+      // and its ids broadcast-semi-joined BEFORE the md5 fingerprint
+      // projection: only candidate docs pay the normalize+md5 pass,
+      // not the whole corpus twice (once per verify-join side). Inner
+      // joins on id make the pruning result-identical.
       val cands = Dedup.simhashCandidates(corpus, "doc_id", "text",
-        maxHamming = 3)
-      val fp = corpus.select(
+        maxHamming = 3).localCheckpoint()
+      val candIds = cands.select(F.col("id_a").as("_cid"))
+        .unionAll(cands.select(F.col("id_b").as("_cid"))).distinct()
+      val fp = corpus
+        .join(F.broadcast(candIds),
+          F.col("doc_id").cast("string") === F.col("_cid"), "left_semi")
+        .select(
         F.col("doc_id").cast("string").as("_id"),
         F.md5(F.encode(F.regexp_replace(
           F.trim(F.lower(F.col("text"))), "\\s+", " "), "UTF-8")).as("_fp"))
@@ -431,9 +441,11 @@ object SparkEntry {
         (F.col("doc_id") + 3000000).as("doc_id"),
         F.concat(F.col("text"),
           F.lit(" graft variant suffix extra trailing words")).as("text")))
-      val cands = Dedup.minhashCandidates(corpus, "doc_id", "text",
-          numHashes = 64, bands = 32, minJaccard = 0.0)
-        .select("id_a", "id_b")
+      // same staged-signature + band-pairs shape as d_minhash (the
+      // est-Jaccard join-back prunes nothing at minJaccard = 0)
+      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text",
+        numHashes = 64).localCheckpoint()
+      val cands = Dedup.minhashBandPairs(sigs, numHashes = 64, bands = 32)
       val pairs = Dedup.ngramJaccard(cands, corpus, "doc_id", "text", k = 5)
         .filter(F.col("jaccard") >= 0.8)
       graft.ops.ConnectedComponents.groups(pairs).orderBy("doc_id")

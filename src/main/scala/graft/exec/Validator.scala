@@ -87,7 +87,13 @@ object Validator {
             // the coalesce the filter below drops the null element and
             // a row counted bad by the verdict emits no violation row
             F.coalesce(c.pred, F.lit(false)).as("ok"),
-            F.coalesce(c.observed.cast("string"), F.lit("null"))
+            // observed can render decimals/arrays to strings — `when`
+            // branches are lazy in codegen, so pay that only on rows
+            // that failed (passing structs are filtered out below and
+            // their observed value never surfaces)
+            F.when(F.coalesce(c.pred, F.lit(false)), F.lit("null"))
+              .otherwise(F.coalesce(c.observed.cast("string"),
+                F.lit("null")))
               .as("observed"),
             F.lit(c.expected).as("expected"),
             // instance_path can re-scan an array to find the first

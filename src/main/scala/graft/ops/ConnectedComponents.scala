@@ -87,13 +87,17 @@ object ConnectedComponents {
     * `group_id` side only), with the round count. */
   private def roots(pairs: DataFrame, idA: String, idB: String,
       maxIter: Int): (DataFrame, Int) = {
+    // LAZY localCheckpoint throughout this loop: the fingerprint
+    // aggregate that immediately follows each checkpoint is the action
+    // that materializes it, so checkpoint + convergence check cost ONE
+    // job per round instead of two (materialize-then-aggregate)
     var edges = pairs
       .select(F.col(idA).cast("string").as("u"),
         F.col(idB).cast("string").as("v"))
       .filter(F.col("u") =!= F.col("v"))
       .select(F.greatest("u", "v").as("u"), F.least("u", "v").as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     def fingerprint(e: DataFrame): (Long, Long) = {
       // order-free set checksum: bit_xor of row hashes (sum would hit
@@ -109,7 +113,7 @@ object ConnectedComponents {
     var iter = 0
     var fp = fingerprint(edges)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       // cheap per-round check: (count, order-free xxhash64 checksum) —
       // one aggregate job instead of an exceptAll anti-join per round;
       // when it signals stability, confirm EXACTLY once with exceptAll
@@ -139,15 +143,26 @@ object ConnectedComponents {
     * hub to one row per mapper (map-side partial agg) and the join is
     * eligible for AQE skew-splitting, which windows are not. */
   private def largeStar(edges: DataFrame): DataFrame = {
+    // ONE explicit repartition on `u`, shared by the aggregate and the
+    // join: HashPartitioning(u) satisfies both consumers' required
+    // distributions, so neither inserts its own exchange, and because
+    // both branches hang off the IDENTICAL Exchange node the
+    // bidirectional view is computed and shuffled once (ReusedExchange)
+    // instead of twice. (No partition count — AQE stays free to
+    // coalesce; AQE skew-split still applies to the join.)
     val bidir = edges.select("u", "v")
       .unionByName(edges.select(F.col("v").as("u"), F.col("u").as("v")))
+      .repartition(F.col("u"))
     val mins = bidir.groupBy("u").agg(F.min("v").as("_mv"))
     bidir.join(mins, Seq("u"))
       .withColumn("m", F.least(F.col("_mv"), F.col("u")))
       .filter(F.col("v") > F.col("u"))
       .select(F.col("v").as("u"), F.col("m").as("v"))
       .filter(F.col("u") =!= F.col("v"))
-      .distinct()
+    // no distinct here: each input edge emits at most one output edge,
+    // so duplicates are bounded by the (already distinct) input, and
+    // smallStar's terminal dedup restores set semantics — one fewer
+    // full (u,v) exchange per round
   }
 
   /** Connect the center and its (all smaller, post-large-star)
@@ -155,9 +170,11 @@ object ConnectedComponents {
     * as [[largeStar]] for the same skew reason; the center edges come
     * straight from the per-node minima (already one row per node). */
   private def smallStar(edges: DataFrame): DataFrame = {
-    val mins = edges.groupBy("u").agg(F.min("v").as("m"))
+    // same single-exchange sharing as largeStar
+    val e = edges.repartition(F.col("u"))
+    val mins = e.groupBy("u").agg(F.min("v").as("m"))
     val center = mins.select(F.col("u"), F.col("m").as("v"))
-    val others = edges.join(mins, Seq("u"))
+    val others = e.join(mins, Seq("u"))
       .filter(F.col("v") =!= F.col("m"))
       .select(F.col("v").as("u"), F.col("m").as("v"))
     center.unionByName(others)

@@ -62,26 +62,31 @@ object Decontaminate {
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, k: Int = 8,
       fpp: Double = 0.001): DataFrame = {
+    // localCheckpoint, not persist/unpersist: the returned DataFrame is
+    // LAZY — an unpersist in a finally block would evict the cache
+    // before the exact-verify join ever executes, recomputing the
+    // benchmark shingles from text at action time. The checkpoint
+    // materializes them ONCE and serves the count, the bloom build and
+    // the verify join from the same store; it is released when the
+    // returned frame is garbage-collected.
     val benchSh = benchmarkShingles(bench, benchTextCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = math.max(benchSh.count(), 1L)
-      val bloom = benchSh.stat.bloomFilter("_sh", n, fpp)
-      val bytes = {
-        val out = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(out)
-        out.toByteArray
-      }
-      val pruned = docShingles(docs, idCol, textCol, k)
-        .filter(org.apache.spark.sql.GraftSqlBridge.column(
-          graft.functions.BloomMightContain(
-            org.apache.spark.sql.GraftSqlBridge.expression(F.col("_sh")),
-            bytes)))
-        // exact verify of the bloom survivors — deliberately NOT
-        // broadcast: not fitting in a broadcast is this path's premise
-        .join(benchSh, Seq("_sh"))
-      hitCounts(pruned)
-    } finally benchSh.unpersist()
+      .localCheckpoint()
+    val n = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter("_sh", n, fpp)
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    val pruned = docShingles(docs, idCol, textCol, k)
+      .filter(org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.BloomMightContain(
+          org.apache.spark.sql.GraftSqlBridge.expression(F.col("_sh")),
+          bytes)))
+      // exact verify of the bloom survivors — deliberately NOT
+      // broadcast: not fitting in a broadcast is this path's premise
+      .join(benchSh, Seq("_sh"))
+    hitCounts(pruned)
   }
 
   /** Corpus-side distinct shingles, exploded, with a per-ROW key

@@ -66,12 +66,22 @@ object Dedup {
     val member = F.struct(
       F.col(idCol).as("_id") +: payloadCols.map(F.col): _*)
 
+    // ONE explicit repartition on the bucket keys, shared by every
+    // consumer: without it the size aggregate and the join each insert
+    // their own exchange over a DIFFERENT subtree (partial-agg vs
+    // plain), so the banded input is computed and shuffled twice;
+    // with it both branches hang off the identical Exchange node and
+    // ReusedExchange computes/shuffles the input once. Every step
+    // below keys on `keyCols`, so no further exchange is inserted.
+    // (No explicit partition count — AQE remains free to coalesce.)
+    val dfr = df.repartition(keys: _*)
+
     // bucket sizes + representative id, WITHOUT collecting members:
     // the one aggregate that must stay safe under a degenerate bucket
-    val sizes = df.groupBy(keys: _*).agg(
+    val sizes = dfr.groupBy(keys: _*).agg(
       F.count(F.lit(1)).as("_n"), F.min(F.col(idCol)).as("_rep"))
       .filter(F.col("_n") >= 2)
-    val dfn = df.join(sizes, keyCols)
+    val dfn = dfr.join(sizes, keyCols)
 
     // small buckets: all pairs via bounded collect_list + double explode
     val small = dfn.filter(F.col("_n") <= maxBucket)
@@ -141,7 +151,29 @@ object Dedup {
     * which oracle-checked pipelines use. */
   def minhashCandidatesFromSigs(
       sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
-      minJaccard: Double = 0.7, maxBucket: Int = 4096): DataFrame = {
+      minJaccard: Double = 0.7, maxBucket: Int = 4096): DataFrame =
+    minhashBandPairs(sigs, numHashes, bands, maxBucket)
+      .join(sigs.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("sig", "sig_a"), Seq("id_a"))
+      .join(sigs.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("sig", "sig_b"), Seq("id_b"))
+      .select(
+        F.col("id_a"), F.col("id_b"),
+        (graft.functions.ArrayEqualCount(F.col("sig_a"), F.col("sig_b"))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .filter(F.col("est_jaccard") >= minJaccard)
+
+  /** Banding ONLY: the candidate pair set `(id_a, id_b)` of
+    * [[minhashCandidatesFromSigs]] WITHOUT the signature join-back that
+    * estimates Jaccard. This is the right entry point when the caller
+    * verifies candidates exactly anyway (an `est_jaccard >= 0` filter
+    * buys nothing but two joins against the signature table): LSH
+    * banding is the recall mechanism, [[ngramJaccard]] the precision
+    * mechanism — the estimate in between is only worth its joins when
+    * it PRUNES (minJaccard > 0) before an expensive verify. */
+  def minhashBandPairs(
+      sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val banded = sigs.select(
@@ -155,29 +187,26 @@ object Dedup {
       .select(F.col("doc_id"),
         F.col("bk.band").as("band"), F.col("bk.bhash").as("bhash"))
 
-    val pairs = bucketedPairs(banded, Seq("band", "bhash"), "doc_id",
+    bucketedPairs(banded, Seq("band", "bhash"), "doc_id",
         Seq.empty, maxBucket)
       .distinct() // a pair may collide in several bands
-    pairs
-      .join(sigs.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("sig", "sig_a"), Seq("id_a"))
-      .join(sigs.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sig", "sig_b"), Seq("id_b"))
-      .select(
-        F.col("id_a"), F.col("id_b"),
-        (graft.functions.ArrayEqualCount(F.col("sig_a"), F.col("sig_b"))
-          .cast("double") / numHashes).as("est_jaccard"))
-      .filter(F.col("est_jaccard") >= minJaccard)
   }
 
-  /** One-shot convenience: signatures built inline (and rebuilt for the
-    * pair-verify join — materialize via [[minhashSignatures]] at scale). */
+  /** One-shot convenience. The signature table is STAGED internally
+    * (`localCheckpoint`): the signature projection — the expensive
+    * shingle+minima pass over every document — is referenced by the
+    * banding AND by both sides of the estimate join, so an unstaged
+    * plan recomputes it up to 4× (measured 1.4× wall on the driver
+    * bench, and strictly worse at scale where the corpus scan is the
+    * dominant cost). On a cluster prefer materializing
+    * [[minhashSignatures]] to a parquet staging table and calling
+    * [[minhashCandidatesFromSigs]] — same shape, fault-tolerant. */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.7, maxBucket: Int = 4096): DataFrame =
     minhashCandidatesFromSigs(
-      minhashSignatures(df, idCol, textCol, numHashes),
+      minhashSignatures(df, idCol, textCol, numHashes).localCheckpoint(),
       numHashes, bands, minJaccard, maxBucket)
 
   // ------------------------------------------------------------------
@@ -212,9 +241,16 @@ object Dedup {
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    // STAGED (localCheckpoint): the (id, 64-bit hash) table is tiny —
+    // 16 B/doc — while the SimHash projection behind it re-reads and
+    // re-hashes every document's full text; the banding below
+    // references it from two exchange subtrees (pair-join side +
+    // bucket-size partial aggregate), so an unstaged plan pays the
+    // text pass twice
     val hashed = df.select(
       F.col(idCol).cast("string").as("doc_id"),
       simhash64(F.col(textCol)).as("sh"))
+      .localCheckpoint()
     val banded = hashed.select(
       F.col("doc_id"), F.col("sh"),
       F.explode(F.array((0 until 4).map { b =>
@@ -229,26 +265,54 @@ object Dedup {
       .select(F.col("id_a"), F.col("id_b"),
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
           .as("hamming"))
-      .groupBy("id_a", "id_b").agg(F.min("hamming").as("hamming"))
+      // filter BEFORE the pair-dedup exchange: hamming is a pure
+      // function of the two 64-bit hashes, so every band emits the
+      // SAME value for a given pair — `min` after the groupBy equals
+      // the value itself, and non-candidates (the vast majority of
+      // same-chunk strangers) can be dropped map-side instead of
+      // shuffling only to be filtered after aggregation (measured:
+      // the post-agg filter shape shuffled every same-bucket pair row)
       .filter(F.col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(F.min("hamming").as("hamming"))
   }
 
   // ------------------------------------------------------------------
   // N-gram Jaccard (exact verification of candidate pairs)
   // ------------------------------------------------------------------
 
-  /** Exact word-n-gram Jaccard for given (id_a, id_b) candidate pairs —
-    * joins texts back in (broadcast-friendly when the candidate set is
-    * small, which LSH guarantees) and computes
-    * |A∩B| / |A∪B| over distinct shingle hashes. */
+  /** Exact word-n-gram Jaccard for given (id_a, id_b) candidate pairs:
+    * |A∩B| / |A∪B| over distinct shingle hashes.
+    *
+    * The candidate set is MATERIALIZED (`localCheckpoint` — it is small
+    * by the LSH/banding contract that produces it) and its distinct ids
+    * broadcast-SEMI-join the corpus BEFORE the shingle projection: only
+    * candidate documents ever pay the split+hash pass, instead of the
+    * whole corpus paying it once per join side (2× full-corpus shingle
+    * passes observed in the unpruned plan). The inner joins on id make
+    * this pruning result-identical by construction. At 10^12 docs the
+    * broadcast is bounded by 2×|pairs| ids — candidate volume, not
+    * corpus volume; if a pathological candidate set outgrows broadcast,
+    * verify from a staged gram table instead (the
+    * [[substringPairsFromGrams]] pattern). */
   def ngramJaccard(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val grams = df.select(
-      F.col(idCol).cast("string").as("_id"),
-      F.array_distinct(TextAnalysis.shingleHashes(F.col(textCol), k))
-        .as("_grams"))
-    pairs
+    val p = pairs.localCheckpoint()
+    val ids = p.select(F.col("id_a").as("_id"))
+      .unionByName(p.select(F.col("id_b").as("_id")))
+      .distinct()
+    val grams = df
+      .join(F.broadcast(ids),
+        F.col(idCol).cast("string") === F.col("_id"), "left_semi")
+      .select(
+        F.col(idCol).cast("string").as("_id"),
+        F.array_distinct(TextAnalysis.shingleHashes(F.col(textCol), k))
+          .as("_grams"))
+      // both verify-join sides reference the gram table; staged so the
+      // pruned shingle pass runs once, not once per side (bounded by
+      // candidate volume like `p` itself)
+      .localCheckpoint()
+    p
       .join(grams.withColumnRenamed("_id", "id_a")
         .withColumnRenamed("_grams", "grams_a"), Seq("id_a"))
       .join(grams.withColumnRenamed("_id", "id_b")
@@ -335,8 +399,15 @@ object Dedup {
   def substringPairs(df: DataFrame, idCol: String, textCol: String,
       runWords: Int = 16, shingleK: Int = 8,
       maxBucket: Int = 256): DataFrame =
+    // gram artifacts STAGED internally (localCheckpoint):
+    // substringPairsFromGrams references the gram table from four
+    // subtrees (fingerprint explode, oversized-doc run explode, both
+    // verify-join sides), each of which would otherwise re-run the
+    // winnowing pass over the full corpus text. On a cluster prefer a
+    // parquet staging table + substringPairsFromGrams (fault-tolerant).
     substringPairsFromGrams(
-      substringGrams(df, idCol, textCol, runWords, shingleK), maxBucket)
+      substringGrams(df, idCol, textCol, runWords, shingleK)
+        .localCheckpoint(), maxBucket)
 
   /** Pair detection over a (possibly staged) [[substringGrams]] table. */
   def substringPairsFromGrams(grams: DataFrame,
