@@ -81,7 +81,13 @@ object Dedup {
     val sizes = dfr.groupBy(keys: _*).agg(
       F.count(F.lit(1)).as("_n"), F.min(F.col(idCol)).as("_rep"))
       .filter(F.col("_n") >= 2)
-    val dfn = dfr.join(sizes, keyCols)
+    // shuffled-hash, not sort-merge: both sides are already
+    // co-partitioned (no exchange either way), so the only difference
+    // is SMJ's full sort of the banded stream vs hashing the size
+    // table — which is the strictly smaller side (≤ one row per
+    // multi-member bucket, uniform hash keys), so the per-partition
+    // build is bounded and skew-free
+    val dfn = dfr.join(sizes.hint("shuffle_hash"), keyCols)
 
     // small buckets: all pairs via bounded collect_list + double explode
     val small = dfn.filter(F.col("_n") <= maxBucket)
@@ -297,7 +303,10 @@ object Dedup {
   def ngramJaccard(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val p = pairs.localCheckpoint()
+    // lazy checkpoints: the broadcast build of `ids` is the action that
+    // materializes `p`, and the first verify join materializes `grams`
+    // — no standalone materialization jobs
+    val p = pairs.localCheckpoint(eager = false)
     val ids = p.select(F.col("id_a").as("_id"))
       .unionByName(p.select(F.col("id_b").as("_id")))
       .distinct()
@@ -311,7 +320,7 @@ object Dedup {
       // both verify-join sides reference the gram table; staged so the
       // pruned shingle pass runs once, not once per side (bounded by
       // candidate volume like `p` itself)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     p
       .join(grams.withColumnRenamed("_id", "id_a")
         .withColumnRenamed("_grams", "grams_a"), Seq("id_a"))

@@ -151,7 +151,12 @@ object TextAnalysis {
   def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame =
     df.filter(F.length(F.trim(F.col(textCol))) > 0)
-      .select(F.col(idCol).cast("long").as("doc_id"),
+      // the id keeps its NATIVE type: a cast("long") here silently
+      // turned non-numeric string ids ("doc-abc") into NULL and merged
+      // every such document into one doc_id=NULL profile group —
+      // sibling ops (Decontaminate.docShingles) keep/normalize ids for
+      // exactly this reason
+      .select(F.col(idCol).as("doc_id"),
         F.explode(shingleHashes(F.col(textCol), n)).as("_g"))
       .groupBy("doc_id", "_g").agg(F.count(F.lit(1)).as("_cnt"))
       .groupBy("doc_id").agg(

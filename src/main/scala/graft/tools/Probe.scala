@@ -133,6 +133,66 @@ object Probe {
       }
       println(s"[probe] cc rounds=$rounds pairs=${pairs.count()} " +
         s"groups=${g.count()}")
+      // CC internals: replicate roots() with per-phase timing
+      t("g4a cc total (replica)") {
+        var edges = pairs
+          .select(F.col("id_a").cast("string").as("u"),
+            F.col("id_b").cast("string").as("v"))
+          .filter(F.col("u") =!= F.col("v"))
+          .select(F.greatest("u", "v").as("u"), F.least("u", "v").as("v"))
+          .distinct()
+          .localCheckpoint(eager = false)
+        def fingerprint(e: DataFrame): (Long, Long) = {
+          val r = e.select(F.xxhash64(F.col("u"), F.col("v")).as("_h"))
+            .agg(F.count(F.lit(1)),
+              F.coalesce(F.expr("bit_xor(_h)"), F.lit(0L))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        def largeStar(e: DataFrame): DataFrame = {
+          val bidir = e.select("u", "v")
+            .unionByName(e.select(F.col("v").as("u"), F.col("u").as("v")))
+            .repartition(F.col("u"))
+          val mins = bidir.groupBy("u").agg(F.min("v").as("_mv"))
+          bidir.join(mins, Seq("u"))
+            .withColumn("m", F.least(F.col("_mv"), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").as("u"), F.col("m").as("v"))
+            .filter(F.col("u") =!= F.col("v"))
+        }
+        def smallStar(e0: DataFrame): DataFrame = {
+          val e = e0.repartition(F.col("u"))
+          val mins = e.groupBy("u").agg(F.min("v").as("m"))
+          val center = mins.select(F.col("u"), F.col("m").as("v"))
+          val others = e.join(mins, Seq("u"))
+            .filter(F.col("v") =!= F.col("m"))
+            .select(F.col("v").as("u"), F.col("m").as("v"))
+          center.unionByName(others)
+            .filter(F.col("u") =!= F.col("v"))
+            .distinct()
+        }
+        var fp = t("g4b initial distinct+fp")(fingerprint(edges))
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 10) {
+          val next = smallStar(largeStar(edges))
+            .localCheckpoint(eager = false)
+          val nfp = t(s"g4c round ${iter + 1}")(fingerprint(next))
+          converged = nfp == fp &&
+            t("g4d exceptAll confirm")(next.exceptAll(edges).isEmpty)
+          fp = nfp
+          edges = next
+          iter += 1
+        }
+        val assignment = edges.select(F.col("u").as("doc_id"),
+          F.col("v").as("group_id"))
+        t("g4e output assembly") {
+          noop(assignment
+            .unionByName(assignment.select(F.col("group_id").as("doc_id"),
+              F.col("group_id")).distinct())
+            .select(F.col("doc_id"), F.col("group_id"),
+              (F.col("doc_id") === F.col("group_id")).as("keep")))
+        }
+      }
 
       println(s"== d_simhash decomposition rep $rep ==")
       val copies = d0.select((F.col("doc_id") + 2000000).as("doc_id"),

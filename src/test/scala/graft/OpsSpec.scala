@@ -1119,17 +1119,27 @@ class OpsSpec extends SparkSpec {
       ("4", "  "))                 // blank: excluded
       .toDF("doc_id", "text")
     val r = TextAnalysis.ngramRepetition(d, "doc_id", "text", n = 2)
-      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
-    assert(r.keySet == Set(1L, 2L, 3L))
-    assert(r(1L).getAs[Long]("n_grams") == 4L)
-    assert(r(1L).getAs[Long]("n_distinct") == 2L)
-    assert(r(1L).getAs[Long]("top_count") == 2L)
-    assert(r(1L).getAs[Double]("dup_frac") == 0.5)
-    assert(r(1L).getAs[Double]("top_frac") == 0.5)
-    assert(r(2L).getAs[Long]("n_grams") == 1L)
-    assert(r(2L).getAs[Double]("dup_frac") == 0.0)
-    assert(r(3L).getAs[Long]("n_distinct") == 2L)
-    assert(r(3L).getAs[Long]("top_count") == 1L)
+      .collect().map(x => x.getAs[String]("doc_id") -> x).toMap
+    assert(r.keySet == Set("1", "2", "3"))
+    assert(r("1").getAs[Long]("n_grams") == 4L)
+    assert(r("1").getAs[Long]("n_distinct") == 2L)
+    assert(r("1").getAs[Long]("top_count") == 2L)
+    assert(r("1").getAs[Double]("dup_frac") == 0.5)
+    assert(r("1").getAs[Double]("top_frac") == 0.5)
+    assert(r("2").getAs[Long]("n_grams") == 1L)
+    assert(r("2").getAs[Double]("dup_frac") == 0.0)
+    assert(r("3").getAs[Long]("n_distinct") == 2L)
+    assert(r("3").getAs[Long]("top_count") == 1L)
+    // non-numeric ids keep their own profile rows (the id column keeps
+    // its native type; a cast-to-long would NULL these and merge them)
+    val nn = Seq(("doc-abc", "p q p q"), ("doc-def", "p q r s"))
+      .toDF("doc_id", "text")
+    val rn = TextAnalysis.ngramRepetition(nn, "doc_id", "text", n = 2)
+      .collect().map(x => x.getAs[String]("doc_id") -> x).toMap
+    assert(rn.keySet == Set("doc-abc", "doc-def"))
+    assert(rn("doc-abc").getAs[Long]("n_grams") == 3L)
+    assert(rn("doc-abc").getAs[Long]("n_distinct") == 2L)
+    assert(rn("doc-def").getAs[Long]("n_distinct") == 3L)
   }
 
   test("deterministic sampling: keyed, stratified, partitioning-proof") {
