@@ -40,12 +40,18 @@ object SparkEntry {
     * the master, never a constant) because AQE would coalesce a 0.6 MB
     * exchange right back to one partition. At warehouse scale the file
     * count exceeds the cores and this helper is the wrong tool; it
-    * adapts the queries to the single-file bench layout. Only queries
-    * whose results are exactly partition-invariant use it (per-row
-    * maps, joins, integer/count/min/max aggregates); floating-point-SUM
-    * aggregations (avg, PSI, t-digest) keep the plain scan so their
-    * summation order — and hence their 6-digit-rounded oracle values —
-    * cannot move. */
+    * adapts the queries to the single-file bench layout. Used ONLY
+    * where an interleaved A/B showed a win — the pipelines whose
+    * full-text pass IS the dominant executed-once cost (the shingle
+    * explode of decontamination, the gram aggregate of t_repetition).
+    * Everywhere else it measured as a wash or a loss: the candidate-
+    * pruned dedup pipelines re-execute the exchange per consuming job,
+    * and the sub-100 ms queries pay more in the extra stage than the
+    * parallelism returns. Results must also be exactly partition-
+    * invariant (integer/count/min/max aggregates, per-row maps);
+    * floating-point-SUM aggregations (avg, PSI, t-digest) must keep
+    * the plain scan so their summation order — and hence their
+    * 6-digit-rounded oracle values — cannot move. */
   private def spread(s: SparkSession, df: DataFrame,
       key: String): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism, F.col(key))
@@ -119,7 +125,7 @@ object SparkEntry {
   /** documents rendered as one raw JSON string per row (the JSONL
     * corpus shape). */
   private def jsonDocs(s: SparkSession, dir: String): DataFrame =
-    spread(s, docs(s, dir), "doc_id").select(
+    docs(s, dir).select(
       F.col("doc_id").cast("string").as("id"),
       F.to_json(F.struct(F.col("doc_id"), F.col("text"), F.col("lang"),
         F.col("source"), F.col("n_chars"))).as("js"))
@@ -450,7 +456,10 @@ object SparkEntry {
       val pairs = ids.select(F.col("id").as("id_a"))
         .crossJoin(ids.select(F.col("id").as("id_b")))
         .filter(F.col("id_a") < F.col("id_b"))
-      Dedup.ngramJaccard(pairs, d, "doc_id", "text", k = 3)
+      // dense 20-doc pair grid: candidate pruning's fixed cost exceeds
+      // the whole-corpus gram pass here — see ngramJaccard scaladoc
+      Dedup.ngramJaccard(pairs, d, "doc_id", "text", k = 3,
+          pruneToCandidates = false)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     }),
@@ -657,7 +666,7 @@ object SparkEntry {
       // filter/inflate bug breaks the pixel hash.
       import s.implicits._
       import graft.ops.{PngCodec, RawImage}
-      spread(s, docs(s, dir).filter(F.col("doc_id") < 150), "doc_id")
+      docs(s, dir).filter(F.col("doc_id") < 150)
         .select(F.col("doc_id").cast("long")).as[Long]
         .map { id =>
           val w = (8 + id % 8).toInt
@@ -686,7 +695,7 @@ object SparkEntry {
       // tolerances instead (OpsSpec).
       import s.implicits._
       import graft.ops.{JpegCodec, RawImage}
-      spread(s, docs(s, dir).filter(F.col("doc_id") < 150), "doc_id")
+      docs(s, dir).filter(F.col("doc_id") < 150)
         .select(F.col("doc_id").cast("long")).as[Long]
         .map { id =>
           val w = (8 + id % 8).toInt
@@ -715,7 +724,7 @@ object SparkEntry {
       // oracle string as m_jpeg — the two entropy codecs cannot drift.
       import s.implicits._
       import graft.ops.{JpegCodec, RawImage}
-      spread(s, docs(s, dir).filter(F.col("doc_id") < 150), "doc_id")
+      docs(s, dir).filter(F.col("doc_id") < 150)
         .select(F.col("doc_id").cast("long")).as[Long]
         .map { id =>
           val w = (8 + id % 8).toInt
@@ -746,7 +755,7 @@ object SparkEntry {
       // one contract.
       import s.implicits._
       import graft.ops.{GifCodec, JpegCodec, PngCodec, RawImage}
-      spread(s, docs(s, dir).filter(F.col("doc_id") < 150), "doc_id")
+      docs(s, dir).filter(F.col("doc_id") < 150)
         .select(F.col("doc_id").cast("long")).as[Long]
         .map { id =>
           val w = (8 + id % 8).toInt
@@ -787,7 +796,7 @@ object SparkEntry {
       // addressing or JPEG bug breaks the hash.
       import s.implicits._
       import graft.ops.{AviCodec, JpegCodec, RawImage}
-      spread(s, docs(s, dir).filter(F.col("doc_id") < 150), "doc_id")
+      docs(s, dir).filter(F.col("doc_id") < 150)
         .select(F.col("doc_id").cast("long")).as[Long]
         .map { id =>
           val w = (8 + id % 8).toInt
@@ -823,7 +832,7 @@ object SparkEntry {
       // SQL — any resampling disagreement breaks the hash.
       import s.implicits._
       import graft.ops.RawImage
-      spread(s, docs(s, dir).filter(F.col("doc_id") < 150), "doc_id")
+      docs(s, dir).filter(F.col("doc_id") < 150)
         .select(F.col("doc_id").cast("long")).as[Long]
         .map { id =>
           val w = (8 + id % 8).toInt

@@ -299,28 +299,38 @@ object Dedup {
     * broadcast is bounded by 2×|pairs| ids — candidate volume, not
     * corpus volume; if a pathological candidate set outgrows broadcast,
     * verify from a staged gram table instead (the
-    * [[substringPairsFromGrams]] pattern). */
+    * [[substringPairsFromGrams]] pattern).
+    *
+    * `pruneToCandidates = false` skips the materialize+semi-join
+    * machinery and computes grams for the whole `df` inline — the right
+    * mode when `df` is already small or the pairs cover most of it
+    * (e.g. a dense pair grid over a few documents), where the pruning's
+    * fixed cost (two checkpoints, a broadcast) exceeds the gram pass it
+    * saves. */
   def ngramJaccard(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3): DataFrame = {
-    // lazy checkpoints: the broadcast build of `ids` is the action that
-    // materializes `p`, and the first verify join materializes `grams`
-    // — no standalone materialization jobs
-    val p = pairs.localCheckpoint(eager = false)
-    val ids = p.select(F.col("id_a").as("_id"))
-      .unionByName(p.select(F.col("id_b").as("_id")))
-      .distinct()
-    val grams = df
-      .join(F.broadcast(ids),
-        F.col(idCol).cast("string") === F.col("_id"), "left_semi")
-      .select(
-        F.col(idCol).cast("string").as("_id"),
-        F.array_distinct(TextAnalysis.shingleHashes(F.col(textCol), k))
-          .as("_grams"))
-      // both verify-join sides reference the gram table; staged so the
-      // pruned shingle pass runs once, not once per side (bounded by
-      // candidate volume like `p` itself)
-      .localCheckpoint(eager = false)
+      k: Int = 3, pruneToCandidates: Boolean = true): DataFrame = {
+    def gramsOf(in: DataFrame): DataFrame = in.select(
+      F.col(idCol).cast("string").as("_id"),
+      F.array_distinct(TextAnalysis.shingleHashes(F.col(textCol), k))
+        .as("_grams"))
+    val (p, grams) =
+      if (!pruneToCandidates) (pairs, gramsOf(df))
+      else {
+        // lazy checkpoints: the broadcast build of `ids` is the action
+        // that materializes `pc`, and the first verify join
+        // materializes the gram table — no standalone jobs
+        val pc = pairs.localCheckpoint(eager = false)
+        val ids = pc.select(F.col("id_a").as("_id"))
+          .unionByName(pc.select(F.col("id_b").as("_id")))
+          .distinct()
+        (pc, gramsOf(df.join(F.broadcast(ids),
+            F.col(idCol).cast("string") === F.col("_id"), "left_semi"))
+          // both verify-join sides reference the gram table; staged so
+          // the pruned shingle pass runs once, not once per side
+          // (bounded by candidate volume like `pc` itself)
+          .localCheckpoint(eager = false))
+      }
     p
       .join(grams.withColumnRenamed("_id", "id_a")
         .withColumnRenamed("_grams", "grams_a"), Seq("id_a"))

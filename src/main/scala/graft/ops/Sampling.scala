@@ -54,6 +54,11 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0 && r <= 1, s"rate must be in [0,1], got $r"))
+    // refuse rather than silently replace an existing column: the audit
+    // contract of the emitted bucket is worthless if it clobbered data
+    require(!df.columns.contains("sample_bucket"),
+      "input already has a 'sample_bucket' column - rename it first " +
+        "(stratifiedSample emits its audit bucket under that name)")
     val threshold = rates.toSeq.sortBy(_._1).foldLeft(
       F.when(F.lit(false), 0L)) { case (acc, (stratum, rate)) =>
         acc.when(F.col(strataCol) === stratum, (rate * Modulus).toLong)

@@ -1142,6 +1142,17 @@ class OpsSpec extends SparkSpec {
     assert(rn("doc-def").getAs[Long]("n_distinct") == 3L)
   }
 
+  test("stratifiedSample refuses an input that already has sample_bucket") {
+    import graft.ops.Sampling
+    val d = spark.range(0, 10).select(F.col("id").as("doc_id"),
+      F.lit("en").as("lang"), F.lit(0L).as("sample_bucket"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(d, "doc_id", "lang",
+        Map("en" -> 0.5), defaultRate = 0.2)
+    }
+    assert(e.getMessage.contains("sample_bucket"))
+  }
+
   test("deterministic sampling: keyed, stratified, partitioning-proof") {
     import graft.ops.Sampling
     val d = spark.range(0, 10000).select(
