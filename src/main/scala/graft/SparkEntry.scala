@@ -345,11 +345,16 @@ object SparkEntry {
       // by brute-force exact Jaccard over all pairs. (The probabilistic
       // est_jaccard stays spec-tested in OpsSpec; it has no exact oracle
       // by nature.)
+      // one staged (sig, grams) projection — the corpus text is read
+      // once; banding consumes sig, the exact verify consumes grams
+      // (verify shingle size == signature shingle size here). The
+      // est-Jaccard join-back is skipped: at minJaccard = 0 it prunes
+      // nothing and the exact verify follows anyway.
       val corpus = nearDupCorpus(s, dir)
-      val cands = Dedup.minhashCandidates(corpus, "doc_id", "text",
-          numHashes = 64, bands = 32, minJaccard = 0.0)
-        .select("id_a", "id_b")
-      Dedup.ngramJaccard(cands, corpus, "doc_id", "text", k = 5)
+      val sg = Dedup.minhashSignaturesWithGrams(corpus, "doc_id", "text",
+        numHashes = 64, shingleK = 5).localCheckpoint()
+      val cands = Dedup.minhashBandPairs(sg, numHashes = 64, bands = 32)
+      Dedup.ngramJaccardFromGrams(cands, sg)
         .filter(F.col("jaccard") >= 0.8)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -361,12 +366,15 @@ object SparkEntry {
       // then banded and verify-joined with no signature recompute.
       // Must produce the exact same verified pair set as d_minhash.
       // minJaccard = 0 means the est-Jaccard join-back would prune
-      // nothing — band pairs go straight to the exact verify
+      // nothing — band pairs go straight to the exact verify. The
+      // verify shingle size equals the signature shingle size (5), so
+      // ONE staged projection carries both signatures and gram sets:
+      // the corpus text is read exactly once for the whole pipeline.
       val corpus = nearDupCorpus(s, dir)
-      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text",
-        numHashes = 64).localCheckpoint()
-      val cands = Dedup.minhashBandPairs(sigs, numHashes = 64, bands = 32)
-      Dedup.ngramJaccard(cands, corpus, "doc_id", "text", k = 5)
+      val sg = Dedup.minhashSignaturesWithGrams(corpus, "doc_id", "text",
+        numHashes = 64, shingleK = 5).localCheckpoint()
+      val cands = Dedup.minhashBandPairs(sg, numHashes = 64, bands = 32)
+      Dedup.ngramJaccardFromGrams(cands, sg)
         .filter(F.col("jaccard") >= 0.8)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -478,12 +486,12 @@ object SparkEntry {
         (F.col("doc_id") + 3000000).as("doc_id"),
         F.concat(F.col("text"),
           F.lit(" graft variant suffix extra trailing words")).as("text")))
-      // same staged-signature + band-pairs shape as d_minhash (the
-      // est-Jaccard join-back prunes nothing at minJaccard = 0)
-      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text",
-        numHashes = 64).localCheckpoint()
-      val cands = Dedup.minhashBandPairs(sigs, numHashes = 64, bands = 32)
-      val pairs = Dedup.ngramJaccard(cands, corpus, "doc_id", "text", k = 5)
+      // same staged (sig, grams) + band-pairs shape as d_minhash: one
+      // text pass feeds banding AND the exact verify
+      val sg = Dedup.minhashSignaturesWithGrams(corpus, "doc_id", "text",
+        numHashes = 64, shingleK = 5).localCheckpoint()
+      val cands = Dedup.minhashBandPairs(sg, numHashes = 64, bands = 32)
+      val pairs = Dedup.ngramJaccardFromGrams(cands, sg)
         .filter(F.col("jaccard") >= 0.8)
       graft.ops.ConnectedComponents.groups(pairs).orderBy("doc_id")
     }),

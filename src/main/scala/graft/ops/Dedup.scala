@@ -142,6 +142,42 @@ object Dedup {
       F.col(idCol).cast("string").as("doc_id"),
       minhashSignature(F.col(textCol), numHashes, shingleK, seed).as("sig"))
 
+  /** The combined staging artifact `(doc_id, sig, _grams)` of a
+    * minhash pipeline whose verify shingle size EQUALS the signature
+    * shingle size: signatures and distinct gram sets are two aggregates
+    * of the SAME `ShingleHashes` array, so one projection (codegen
+    * subexpression elimination computes the shingles once) yields both
+    * and the corpus text is read exactly once for the entire
+    * candidates→exact-verify pipeline. Feed `sig` to
+    * [[minhashBandPairs]] and `_grams` to [[ngramJaccardFromGrams]].
+    * At 10^12 docs this is the parquet staging table; in-session,
+    * `localCheckpoint` it. */
+  def minhashSignaturesWithGrams(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleK: Int = 5, seed: Long = 42L): DataFrame = {
+    val shingles = TextAnalysis.shingleHashes(F.col(textCol), shingleK)
+    df.select(
+      F.col(idCol).cast("string").as("doc_id"),
+      graft.functions.MinHashSig(shingles, numHashes, seed).as("sig"),
+      F.array_distinct(shingles).as("_grams"))
+  }
+
+  /** Exact Jaccard verify over a staged gram table `(doc_id, _grams)`
+    * (e.g. [[minhashSignaturesWithGrams]] output) — the join-only tail
+    * of [[ngramJaccard]], for callers that already paid the shingle
+    * pass. */
+  def ngramJaccardFromGrams(pairs: DataFrame, grams: DataFrame): DataFrame =
+    pairs
+      .join(grams.select(F.col("doc_id").as("id_a"),
+        F.col("_grams").as("grams_a")), Seq("id_a"))
+      .join(grams.select(F.col("doc_id").as("id_b"),
+        F.col("_grams").as("grams_b")), Seq("id_b"))
+      .withColumn("jaccard", F.round(
+        F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+          .cast("double") /
+          F.size(F.array_union(F.col("grams_a"), F.col("grams_b"))), 6))
+      .drop("grams_a", "grams_b")
+
   /** LSH banding over a precomputed signature table: candidate pairs
     * whose signatures collide in ≥1 of `bands` bands (rowsPerBand =
     * numHashes/bands). The banding shuffle carries ONLY

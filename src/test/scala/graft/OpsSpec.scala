@@ -25,6 +25,36 @@ class OpsSpec extends SparkSpec {
     assert(dupGroup(0).getAs[String]("keep_id") == "d1")
   }
 
+  test("combined (sig, grams) staging matches the two-pass pipeline") {
+    // minhashSignaturesWithGrams + minhashBandPairs + ngramJaccardFromGrams
+    // must emit the exact pair set of the one-shot candidates + the
+    // text-joining ngramJaccard verify (same shingle size)
+    val docs = (0 until 40).map { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel " +
+        s"india juliet kilo lima mike november oscar papa token$i"
+      Seq((s"d$i", base), (s"n$i", base + " neardup"))  // J = 13/14
+    }.flatten.toDF("id", "text")
+    val sg = Dedup.minhashSignaturesWithGrams(docs, "id", "text",
+      numHashes = 64, shingleK = 5).localCheckpoint()
+    val combined = Dedup.ngramJaccardFromGrams(
+        Dedup.minhashBandPairs(sg, numHashes = 64, bands = 32), sg)
+      .filter(F.col("jaccard") >= 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val cands = Dedup.minhashCandidates(docs, "id", "text",
+        numHashes = 64, bands = 32, minJaccard = 0.0)
+      .select("id_a", "id_b")
+    val twoPass = Dedup.ngramJaccard(cands, docs, "id", "text", k = 5)
+      .filter(F.col("jaccard") >= 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(combined == twoPass)
+    assert(combined.nonEmpty)
+    // every planted (d_i, n_i) pair is found
+    assert((0 until 40).forall(i =>
+      combined.exists(p => p._1 == s"d$i" && p._2 == s"n$i")))
+  }
+
   test("minhash LSH finds exact and near dups, not unrelated docs") {
     val cands = Dedup.minhashCandidates(docs, "id", "text",
       numHashes = 64, bands = 16, minJaccard = 0.5)
