@@ -103,6 +103,16 @@ object Validator {
               .otherwise(F.coalesce(c.instancePath, F.lit("/")))
               .as("instance_path"))
         }: _*)
+        // Gate rows through ONE codegen any-constraint-failed
+        // disjunction BEFORE building/exploding the violation structs:
+        // on a mostly-clean table (the normal case) the vast majority
+        // of rows short-circuit out of the scan stage without ever
+        // constructing a struct, and the Generate runs only over the
+        // failing sliver. Result-identical: a row passing every check
+        // contributes zero violation rows either way.
+        val anyFail = suite.rowChecks
+          .map(c => !F.coalesce(c.pred, F.lit(false)))
+          .reduce(_ || _)
         // Explode ALL structs and drop passing ones with a plain Filter
         // AFTER the Generate: a higher-order `filter(structs, !ok)`
         // lambda reads nicer but ArrayFilter is CodegenFallback, which
@@ -111,7 +121,8 @@ object Validator {
         // eval() per row. This shape keeps construction, explode and
         // drop inside whole-stage codegen; the extra per-row structs
         // exist only inside the stage, never shuffle.
-        df.select(
+        df.filter(anyFail)
+          .select(
             F.col(idCol).cast("string").as("doc_id"),
             F.explode(structs).as("_v"))
           .filter(!F.col("_v.ok"))
