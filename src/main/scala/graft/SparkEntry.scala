@@ -350,7 +350,15 @@ object SparkEntry {
       // (verify shingle size == signature shingle size here). The
       // est-Jaccard join-back is skipped: at minJaccard = 0 it prunes
       // nothing and the exact verify follows anyway.
-      val corpus = nearDupCorpus(s, dir)
+      // The corpus is SPREAD into the eager checkpoint: the union scans
+      // the single small file per branch, so the staged table would
+      // otherwise hold 2-3 partitions and EVERY consumer stage (band
+      // exchange + both verify joins, each deserializing the fat gram
+      // arrays) would run 3 tasks on a 32-core box. The repartition
+      // executes exactly once — inside the checkpoint job — so no
+      // consumer re-executes the exchange (the r6 spread-revert concern
+      // applied to unstaged plans).
+      val corpus = spread(s, nearDupCorpus(s, dir), "doc_id")
       val sg = Dedup.minhashSignaturesWithGrams(corpus, "doc_id", "text",
         numHashes = 64, shingleK = 5).localCheckpoint()
       val cands = Dedup.minhashBandPairs(sg, numHashes = 64, bands = 32)
@@ -370,7 +378,8 @@ object SparkEntry {
       // verify shingle size equals the signature shingle size (5), so
       // ONE staged projection carries both signatures and gram sets:
       // the corpus text is read exactly once for the whole pipeline.
-      val corpus = nearDupCorpus(s, dir)
+      // Spread into the checkpoint — same rationale as d_minhash.
+      val corpus = spread(s, nearDupCorpus(s, dir), "doc_id")
       val sg = Dedup.minhashSignaturesWithGrams(corpus, "doc_id", "text",
         numHashes = 64, shingleK = 5).localCheckpoint()
       val cands = Dedup.minhashBandPairs(sg, numHashes = 64, bands = 32)
@@ -487,9 +496,10 @@ object SparkEntry {
         F.concat(F.col("text"),
           F.lit(" graft variant suffix extra trailing words")).as("text")))
       // same staged (sig, grams) + band-pairs shape as d_minhash: one
-      // text pass feeds banding AND the exact verify
-      val sg = Dedup.minhashSignaturesWithGrams(corpus, "doc_id", "text",
-        numHashes = 64, shingleK = 5).localCheckpoint()
+      // text pass feeds banding AND the exact verify; spread into the
+      // checkpoint for the same 3-partition-consumer reason
+      val sg = Dedup.minhashSignaturesWithGrams(spread(s, corpus, "doc_id"),
+        "doc_id", "text", numHashes = 64, shingleK = 5).localCheckpoint()
       val cands = Dedup.minhashBandPairs(sg, numHashes = 64, bands = 32)
       val pairs = Dedup.ngramJaccardFromGrams(cands, sg)
         .filter(F.col("jaccard") >= 0.8)
