@@ -1,14 +1,20 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.{functions => F}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
 
-import graft.ops.Dedup
-
-/** Per-stage wall/task-time trace of the d_groups body (scratch). */
+/** Per-stage wall-time trace of any `SparkEntry.queries` entry, warm
+  * (two untraced runs first): the stage/gap attribution behind the r6
+  * optimization decisions. Stage walls that sum well below the total
+  * indicate driver-side planning/AQE latency, not executor work.
+  *
+  * Run: `sbt "runMain graft.tools.StageTrace <query> [reps]"`.
+  */
 object StageTrace {
   def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("d_groups")
+    val reps = args.lift(1).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -19,45 +25,37 @@ object StageTrace {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     @volatile var trace = false
+    @volatile var stageWallSum = 0L
+    @volatile var jobs = 0
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (trace) jobs += 1
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         if (trace) {
           val si = sc.stageInfo
-          val wall = for {
+          val wall = (for {
             s <- si.submissionTime; c <- si.completionTime
-          } yield c - s
+          } yield c - s).getOrElse(-1L)
+          if (wall > 0) stageWallSum += wall
           println(f"[stage] id=${si.stageId} tasks=${si.numTasks} " +
-            f"wall=${wall.getOrElse(-1L)}ms name=${si.name.take(60)}")
+            f"wall=${wall}ms")
         }
     })
-    def docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    def corpus: DataFrame = {
-      val d = docs.select(F.col("doc_id"), F.col("text"))
-      val near = d.unionAll(d.select((F.col("doc_id") + 1000000).as("doc_id"),
-        F.concat(F.col("text"), F.lit(" graft variant suffix")).as("text")))
-      near.unionAll(d.select(
-        (F.col("doc_id") + 3000000).as("doc_id"),
-        F.concat(F.col("text"),
-          F.lit(" graft variant suffix extra trailing words")).as("text")))
-    }
-    def body(): Long = {
-      val in = if (args.contains("spread"))
-        corpus.repartition(spark.sparkContext.defaultParallelism,
-          F.col("doc_id")) else corpus
-      val sg = Dedup.minhashSignaturesWithGrams(in, "doc_id", "text",
-        numHashes = 64, shingleK = 5).localCheckpoint()
-      val cands = Dedup.minhashBandPairs(sg, numHashes = 64, bands = 32)
-      val pairs = Dedup.ngramJaccardFromGrams(cands, sg)
-        .filter(F.col("jaccard") >= 0.8)
-      graft.ops.ConnectedComponents.groups(pairs).count()
-    }
+    val q = graft.SparkEntry.queries(name)
+    def body(): Long = q(spark, sfDir).count()
     body(); body() // warm
     trace = true
-    val t0 = System.nanoTime()
-    body()
-    println(f"[total] ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    (1 to reps).foreach { _ =>
+      stageWallSum = 0L; jobs = 0
+      val t0 = System.nanoTime()
+      body()
+      val tot = (System.nanoTime() - t0) / 1e9
+      println(f"[total] $name $tot%.3f s jobs=$jobs " +
+        f"stage-wall-sum=${stageWallSum / 1000.0}%.3f s " +
+        f"(gap=${tot - stageWallSum / 1000.0}%.3f s driver/planning)")
+    }
     spark.stop()
   }
 }
